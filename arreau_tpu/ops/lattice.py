@@ -1,0 +1,191 @@
+"""Lattice parameter codec and coordinate transforms (pure jnp).
+
+Capability parity with the reference's lattice math
+(/root/reference/diffusion/lattice_helpers.py:5-105 and
+/root/reference/diffusion/diffusion_helpers.py:223-251, :567-774) but written
+batch-first and jit-friendly: every function is shape-polymorphic over a
+leading batch dimension and contains no Python-level data-dependent control
+flow.
+
+Conventions:
+  * a lattice is a row-matrix ``L`` of shape ``[..., 3, 3]`` whose rows are the
+    three basis vectors; cartesian coords = frac coords @ L.
+  * angles are in radians.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPSILON = 1e-8
+
+
+def encode_angles(angles: jax.Array) -> jax.Array:
+    """Angle -> (sin, cos) pairs; concatenated on the last axis."""
+    return jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+
+
+def decode_angles(encoded: jax.Array) -> jax.Array:
+    """Inverse of :func:`encode_angles` for 3-angle vectors."""
+    return jnp.arctan2(encoded[..., :3], encoded[..., 3:])
+
+
+def matrix_to_params(matrix: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Lattice row-matrix ``[..., 3, 3]`` -> (lengths ``[..., 3]``, angles ``[..., 3]``).
+
+    ``angles[i]`` is the angle between basis rows ``(i+1)%3`` and ``(i+2)%3``
+    (the crystallographic alpha/beta/gamma convention), in radians.
+    Reference behavior: /root/reference/diffusion/lattice_helpers.py:16-35.
+    """
+    lengths = jnp.sqrt(jnp.sum(matrix**2, axis=-1))
+    # cos(angle_i) = <row_j, row_k> / (|row_j| |row_k|), j=(i+1)%3, k=(i+2)%3.
+    j = jnp.array([1, 2, 0])
+    k = jnp.array([2, 0, 1])
+    rows_j = matrix[..., j, :]
+    rows_k = matrix[..., k, :]
+    cos = jnp.sum(rows_j * rows_k, axis=-1) / (lengths[..., j] * lengths[..., k])
+    angles = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+    return lengths, angles
+
+
+def abs_cap(val: jax.Array, max_abs_val: float = 1.0) -> jax.Array:
+    return jnp.clip(val, -max_abs_val, max_abs_val)
+
+
+def lattice_from_params(lengths: jax.Array, angles: jax.Array) -> jax.Array:
+    """(lengths ``[..., 3]``, angles ``[..., 3]`` in radians) -> lattice ``[..., 3, 3]``.
+
+    Canonical orientation (pymatgen convention, as used by the reference at
+    /root/reference/diffusion/lattice_helpers.py:55-105): vector_c along +z,
+    vector_a in the x-z plane.
+    """
+    a, b, c = lengths[..., 0], lengths[..., 1], lengths[..., 2]
+    alpha, beta, gamma = angles[..., 0], angles[..., 1], angles[..., 2]
+
+    cos_alpha, cos_beta, cos_gamma = jnp.cos(alpha), jnp.cos(beta), jnp.cos(gamma)
+    sin_alpha, sin_beta = jnp.sin(alpha), jnp.sin(beta)
+
+    val = (cos_alpha * cos_beta - cos_gamma) / (sin_alpha * sin_beta)
+    gamma_star = jnp.arccos(abs_cap(val))
+
+    zeros = jnp.zeros_like(a)
+    vector_a = jnp.stack([a * sin_beta, zeros, a * cos_beta], axis=-1)
+    vector_b = jnp.stack(
+        [
+            -b * sin_alpha * jnp.cos(gamma_star),
+            b * sin_alpha * jnp.sin(gamma_star),
+            b * cos_alpha,
+        ],
+        axis=-1,
+    )
+    vector_c = jnp.stack([zeros, zeros, c], axis=-1)
+    return jnp.stack([vector_a, vector_b, vector_c], axis=-2)
+
+
+def frac_to_cart(frac: jax.Array, lattice: jax.Array) -> jax.Array:
+    """Fractional -> cartesian coordinates.
+
+    ``frac``: ``[..., N, 3]``, ``lattice``: ``[..., 3, 3]`` (row basis).
+    Dense-batch analogue of the reference's per-atom repeat_interleave + einsum
+    (/root/reference/diffusion/diffusion_helpers.py:223-230).
+    """
+    return jnp.einsum("...ni,...ij->...nj", frac, lattice)
+
+
+def cart_to_frac_without_mod(cart: jax.Array, lattice: jax.Array) -> jax.Array:
+    """Cartesian -> fractional, without wrapping into [0, 1).
+
+    Uses pinv for robustness against (near-)singular predicted lattices, like
+    the reference (/root/reference/diffusion/diffusion_helpers.py:233-242).
+    """
+    inv_lattice = jnp.linalg.pinv(lattice)
+    return jnp.einsum("...ni,...ij->...nj", cart, inv_lattice)
+
+
+def cart_to_frac(cart: jax.Array, lattice: jax.Array) -> jax.Array:
+    return cart_to_frac_without_mod(cart, lattice) % 1.0
+
+
+def symmetrize_matrix(matrix: jax.Array) -> jax.Array:
+    return (matrix + jnp.swapaxes(matrix, -1, -2)) / 2
+
+
+def polar_decomposition(matrix: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """SVD polar decomposition M = U * P with P symmetric positive semidefinite."""
+    u_svd, s, vt = jnp.linalg.svd(matrix)
+    rotation = u_svd @ vt
+    p = jnp.swapaxes(vt, -1, -2) @ (s[..., :, None] * vt)
+    return rotation, symmetrize_matrix(p)
+
+
+def symmetric_matrix_to_vector(matrix: jax.Array) -> jax.Array:
+    """Batched 3x3 symmetric matrix -> upper-triangular 6-vector."""
+    return jnp.stack(
+        [
+            matrix[..., 0, 0],
+            matrix[..., 0, 1],
+            matrix[..., 0, 2],
+            matrix[..., 1, 1],
+            matrix[..., 1, 2],
+            matrix[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def vector_to_symmetric_matrix(vector: jax.Array) -> jax.Array:
+    """Inverse of :func:`symmetric_matrix_to_vector`."""
+    v0, v1, v2, v3, v4, v5 = (vector[..., i] for i in range(6))
+    row0 = jnp.stack([v0, v1, v2], axis=-1)
+    row1 = jnp.stack([v1, v3, v4], axis=-1)
+    row2 = jnp.stack([v2, v4, v5], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def volume(matrix: jax.Array) -> jax.Array:
+    return jnp.abs(jnp.linalg.det(matrix))
+
+
+def wrapped_angle_mse(pred_angles: jax.Array, target_angles: jax.Array) -> jax.Array:
+    """MSE on the circle (mod 2*pi), matching the reference's angle loss
+    (/root/reference/diffusion/diffusion_helpers.py:633-643)."""
+    max_angle = 2 * jnp.pi
+    diff = jnp.clip(jnp.abs(pred_angles - target_angles) % max_angle, 0.0, max_angle)
+    wrapped = jnp.minimum(diff, max_angle - diff)
+    return jnp.mean(wrapped**2)
+
+
+_BRAVAIS_FIXED = {
+    "cubic": (90.0, 90.0, 90.0),
+    "tetragonal": (90.0, 90.0, 90.0),
+    "orthorhombic": (90.0, 90.0, 90.0),
+    "hexagonal": (90.0, 90.0, 120.0),
+}
+
+
+def sample_bravais_angles(
+    key: jax.Array, lattice_type: str, batch: int, degrees: bool = False
+) -> jax.Array:
+    """Sample lattice angles ``[batch, 3]`` for one of the 7 Bravais families.
+
+    Same families/ranges as the reference
+    (/root/reference/diffusion/diffusion_helpers.py:739-774). Returns radians
+    by default (the reference keeps degrees at the call site then feeds radians
+    downstream; we standardize on radians).
+    """
+    if lattice_type in _BRAVAIS_FIXED:
+        deg = jnp.broadcast_to(jnp.asarray(_BRAVAIS_FIXED[lattice_type]), (batch, 3))
+    elif lattice_type == "monoclinic":
+        beta = jax.random.uniform(key, (batch,), minval=90.0, maxval=180.0)
+        ninety = jnp.full((batch,), 90.0)
+        deg = jnp.stack([ninety, beta, ninety], axis=-1)
+    elif lattice_type == "triclinic":
+        deg = jax.random.uniform(key, (batch, 3), minval=60.0, maxval=120.0)
+    elif lattice_type == "rhombohedral":
+        angle = jax.random.uniform(key, (batch,), minval=60.0, maxval=120.0)
+        deg = jnp.stack([angle, angle, angle], axis=-1)
+    else:
+        raise ValueError(f"Invalid lattice type: {lattice_type}")
+    deg = deg.astype(jnp.result_type(float))
+    return deg if degrees else deg * (jnp.pi / 180.0)

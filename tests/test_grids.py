@@ -1,0 +1,51 @@
+"""Tests for orientation grids and random rotations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from arreau_tpu.ops import grids
+
+
+def test_uniform_grid_s1():
+    g = np.asarray(grids.uniform_grid_s1(8))
+    assert g.shape == (8, 2)
+    np.testing.assert_allclose((g**2).sum(-1), 1.0, rtol=1e-6)
+    # first point is (1, 0); equally spaced
+    np.testing.assert_allclose(g[0], [1.0, 0.0], atol=1e-7)
+    angles = np.arctan2(g[:, 1], g[:, 0])
+    diffs = np.diff(np.unwrap(angles))
+    np.testing.assert_allclose(diffs, 2 * np.pi / 8, rtol=1e-5)
+
+
+def test_uniform_grid_s2_near_uniform():
+    n = 16
+    g = np.asarray(grids.uniform_grid_s2(n, jax.random.PRNGKey(0)))
+    assert g.shape == (n, 3)
+    np.testing.assert_allclose(np.linalg.norm(g, axis=-1), 1.0, rtol=1e-5)
+    # nearest-neighbor geodesic distances should be fairly even after repulsion
+    dots = np.clip(g @ g.T, -1, 1)
+    geo = np.arccos(dots)
+    np.fill_diagonal(geo, np.inf)
+    nn = geo.min(axis=1)
+    assert nn.min() > 0.3  # no near-duplicate orientations
+    assert nn.std() / nn.mean() < 0.35
+
+
+def test_random_so3_matrix_is_rotation():
+    R = np.asarray(grids.random_so3_matrix(jax.random.PRNGKey(1), (10,)))
+    for i in range(10):
+        np.testing.assert_allclose(R[i] @ R[i].T, np.eye(3), atol=1e-9)
+        np.testing.assert_allclose(np.linalg.det(R[i]), 1.0, rtol=1e-9)
+
+
+def test_random_so2_matrix_is_rotation():
+    R = np.asarray(grids.random_so2_matrix(jax.random.PRNGKey(2), (10,)))
+    for i in range(10):
+        np.testing.assert_allclose(R[i] @ R[i].T, np.eye(2), atol=1e-9)
+        np.testing.assert_allclose(np.linalg.det(R[i]), 1.0, rtol=1e-9)
+
+
+def test_quat_to_matrix_identity():
+    q = jnp.array([1.0, 0.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(grids.quat_to_matrix(q)), np.eye(3), atol=1e-12)
