@@ -1,0 +1,162 @@
+"""Building blocks for the Ponita backbone: polynomial features, sphere
+codecs, the separable fiber-bundle convolution, and the ConvNext block —
+re-designed for dense static-shape batches.
+
+Capability parity targets (reference behavior, not code):
+  * PolynomialFeatures — /root/reference/ponita/nn/embedding.py:4-14
+  * scalar/vec <-> sphere codecs — /root/reference/ponita/utils/to_from_sphere.py:4-14
+  * Conv / FiberBundleConv — /root/reference/ponita/nn/conv.py:12-146
+  * ConvNext — /root/reference/ponita/nn/convnext.py:4-33
+
+The PyG scatter-based message passing becomes a gather over the fixed-degree
+receiver-major neighbor list plus a masked sum over the K axis; the spherical
+(fiber) mixing stays a dense einsum that XLA maps onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def polynomial_features(x: jax.Array, degree: int) -> jax.Array:
+    """Tensor-power polynomial features: ``[x, x (x) x, ...]`` flattened.
+
+    For input dim ``d`` and degree ``n`` the output dim is ``d + d^2 + ... + d^n``.
+    """
+    feats = [x]
+    for _ in range(1, degree):
+        outer = feats[-1][..., :, None] * x[..., None, :]
+        feats.append(outer.reshape(*outer.shape[:-2], -1))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def polynomial_feature_dim(input_dim: int, degree: int) -> int:
+    return sum(input_dim**i for i in range(1, degree + 1))
+
+
+def scalar_to_sphere(scalar: jax.Array, num_ori: int) -> jax.Array:
+    """``[..., F] -> [..., O, F]`` by repetition over the orientation grid."""
+    return jnp.repeat(scalar[..., None, :], num_ori, axis=-2)
+
+
+def vec_to_sphere(vec: jax.Array, ori_grid: jax.Array) -> jax.Array:
+    """``[..., V, 3] x [O, 3] -> [..., O, V]`` inner products."""
+    return jnp.einsum("...vd,od->...ov", vec, ori_grid)
+
+
+def sphere_to_scalar(signal: jax.Array) -> jax.Array:
+    """Mean over the orientation axis: ``[..., O, F] -> [..., F]``."""
+    return signal.mean(axis=-2)
+
+
+def sphere_to_vec(signal: jax.Array, ori_grid: jax.Array) -> jax.Array:
+    """Signal-weighted grid average: ``[..., O, V] -> [..., V, 3]``."""
+    return jnp.einsum("...ov,od->...vd", signal, ori_grid) / ori_grid.shape[-2]
+
+
+class BasisMLP(nn.Module):
+    """Kernel-basis network: PolynomialFeatures -> Dense -> GELU -> Dense -> GELU.
+
+    Mirrors the reference's ``basis_fn``/``fiber_basis_fn`` stacks
+    (ponita.py:65-66) with explicit input dims instead of LazyLinear.
+    """
+
+    hidden_dim: int
+    basis_dim: int
+    degree: int
+
+    @nn.compact
+    def __call__(self, attr: jax.Array) -> jax.Array:
+        h = polynomial_features(attr, self.degree)
+        h = nn.Dense(self.hidden_dim, name="dense_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.basis_dim, name="dense_out")(h)
+        return nn.gelu(h)
+
+
+class FiberBundleConv(nn.Module):
+    """Separable depthwise R^3 x S^2 group convolution over the fixed-degree
+    neighbor list.
+
+    Step 1 (spatial): per-edge depthwise kernel from the (windowed) kernel
+    basis, multiplied with the gathered sender features and mask-summed over
+    the K neighbor slots.
+    Step 2 (spherical): dense orientation mixing ``x[b,o,c] K[o,p,c] -> [b,p,c]``
+    normalized by the grid size.
+
+    The reference's train-time "self-calibrating init" (conv.py:49-51) is
+    replaced by a kernel-init variance correction: the spatial kernel Dense is
+    scaled by ``1/sqrt(expected_degree)`` so the sum over K neighbor slots is
+    variance-preserving at init; an optional one-shot host-side calibration
+    utility lives in arreau_tpu/models/calibrate.py.
+    """
+
+    channels: int
+    expected_degree: float = 8.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, A, O, C]
+        kernel_basis: jax.Array,  # [B, A, K, O, basis_dim]
+        fiber_kernel_basis: jax.Array,  # [O, O, basis_dim]
+        src: jax.Array,  # [B, A, K]
+        edge_mask: jax.Array,  # [B, A, K]
+    ) -> tuple[jax.Array, jax.Array]:
+        scale = 1.0 / jnp.sqrt(self.expected_degree)
+        kernel = nn.Dense(
+            self.channels,
+            use_bias=False,
+            name="spatial_kernel",
+            kernel_init=nn.initializers.variance_scaling(scale, "fan_in", "truncated_normal"),
+        )(kernel_basis)  # [B, A, K, O, C]
+
+        # Gather sender features along the atom axis of each crystal.
+        B, A, K = src.shape
+        idx = src.reshape(B, A * K)[:, :, None, None]  # [B, A*K, 1, 1]
+        x_j = jnp.take_along_axis(x, idx, axis=1).reshape(B, A, K, *x.shape[2:])
+        messages = kernel * x_j
+        x_spatial = jnp.where(edge_mask[..., None, None], messages, 0.0).sum(axis=2)
+
+        fiber_kernel = nn.Dense(
+            self.channels, use_bias=False, name="fiber_kernel"
+        )(fiber_kernel_basis)  # [O, O, C]
+        num_ori = fiber_kernel.shape[0]
+        x_out = jnp.einsum("baoc,opc->bapc", x_spatial, fiber_kernel) / num_ori
+
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return x_out + bias, messages
+
+
+class ConvNextBlock(nn.Module):
+    """Pre-norm residual block around the fiber-bundle conv: conv -> LayerNorm
+    -> widen Dense -> GELU -> Dense -> (layer_scale) -> +residual."""
+
+    channels: int
+    widening_factor: int = 4
+    layer_scale_init: Optional[float] = 1e-6
+    act: Callable = nn.gelu
+    expected_degree: float = 8.0
+
+    @nn.compact
+    def __call__(self, x, kernel_basis, fiber_kernel_basis, src, edge_mask):
+        residual = x
+        x, messages = FiberBundleConv(
+            self.channels, expected_degree=self.expected_degree, name="conv"
+        )(x, kernel_basis, fiber_kernel_basis, src, edge_mask)
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dense(self.widening_factor * self.channels, name="linear_1")(x)
+        x = self.act(x)
+        x = nn.Dense(self.channels, name="linear_2")(x)
+        if self.layer_scale_init is not None:
+            gamma = self.param(
+                "layer_scale",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.channels,),
+            )
+            x = gamma * x
+        return residual + x, messages

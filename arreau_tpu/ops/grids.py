@@ -85,7 +85,7 @@ def uniform_grid_s2(
 @lru_cache(maxsize=None)
 def cached_grid_s2(n: int, seed: int = 0) -> np.ndarray:
     """Host-cached S^2 grid (numpy, float64) — deterministic per (n, seed)."""
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         grid = uniform_grid_s2(n, jax.random.PRNGKey(seed))
     return np.asarray(jax.device_get(grid), dtype=np.float64)
 

@@ -1,0 +1,365 @@
+"""Joint crystal diffusion: noising, score prediction, loss, and the reverse
+sampler — the TPU re-design of the reference's ``DiffusionLoss``
+(/root/reference/diffusion/diffusion_loss.py:67-377) and the task glue in
+``PONITA_DIFFUSION`` (/root/reference/lightning_wrappers/diffusion.py:29-118).
+
+Everything here is a pure function over an immutable dense
+:class:`CrystalBatch` (the reference mutates a PyG ``Batch`` in place inside
+``predict_scores``; here the graph is rebuilt functionally inside the jitted
+step). The whole train step — noise sampling, PBC graph rebuild, backbone
+forward, three losses — compiles into one XLA program; the sampler is a
+single ``lax.fori_loop`` over all T reverse steps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arreau_tpu.diffusion.d3pm import (
+    D3PMTables,
+    d3pm_loss,
+    d3pm_reverse_step,
+    d3pm_sample_xt,
+    make_d3pm_tables,
+)
+from arreau_tpu.diffusion.ve import VESchedule, make_ve_schedule, ve_forward_pbc, ve_reverse_step
+from arreau_tpu.diffusion.vp import VPSchedule, make_vp_schedule, vp_forward, vp_reverse_given_x0
+from arreau_tpu.models.ponita import FiberBundleInputs, PonitaConfig, PonitaFiberBundle
+from arreau_tpu.ops.fourier import gaussian_fourier_features, make_fourier_weights
+from arreau_tpu.ops.grids import cached_grid_s2
+from arreau_tpu.ops.lattice import (
+    frac_to_cart,
+    lattice_from_params,
+    matrix_to_params,
+    sample_bravais_angles,
+)
+from arreau_tpu.ops.pbc import pbc_neighbor_list
+
+# Diffusion constants (reference diffusion_loss.py:30-36).
+POS_SIGMA_MIN = 0.001
+POS_SIGMA_MAX = 1.0
+LATTICE_POWER = 2
+LATTICE_CLIPMAX = 0.999
+# Fourier time-embedding constants (reference lightning_wrappers/diffusion.py:22-23).
+FOURIER_SCALE = 16.0
+T_EMB_DIM = 64
+
+
+class CrystalBatch(NamedTuple):
+    """Immutable dense crystal batch.
+
+    frac_x:     [B, A, 3] fractional coordinates in [0, 1).
+    atom_types: [B, A] int z-table indices.
+    lattice:    [B, 3, 3] row-basis lattices.
+    num_atoms:  [B] int real atom counts.
+    atom_mask:  [B, A] bool slot validity.
+    """
+
+    frac_x: jax.Array
+    atom_types: jax.Array
+    lattice: jax.Array
+    num_atoms: jax.Array
+    atom_mask: jax.Array
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    num_atomic_states: int  # len(z_table) incl. MASK class
+    num_timesteps: int = 1000
+    radius: float = 5.0
+    max_neighbors: int = 8
+    hidden_dim: int = 200
+    basis_dim: int = 256
+    degree: int = 3
+    num_layers: int = 5
+    num_ori: int = 16
+    widening_factor: int = 4
+    layer_scale: Optional[float] = 1e-6
+    multiple_readouts: bool = True
+    coord_loss_weight: float = 1.0
+    atom_type_loss_weight: float = 1.0
+    lattice_loss_weight: float = 1.0
+    fourier_seed: int = 1234
+    remat: bool = True
+
+    @property
+    def in_scalar_dim(self) -> int:
+        # [one-hot types | t_emb | num_atoms | lengths | angles | scaled lengths]
+        # (reference lightning_wrappers/diffusion.py:69-76)
+        return self.num_atomic_states + T_EMB_DIM + 1 + 3 + 3 + 3
+
+    @property
+    def in_vec_dim(self) -> int:
+        return 1 + 3  # fractional coords + 3 lattice rows
+
+    def ponita_config(self) -> PonitaConfig:
+        return PonitaConfig(
+            hidden_dim=self.hidden_dim,
+            basis_dim=self.basis_dim,
+            degree=self.degree,
+            num_layers=self.num_layers,
+            widening_factor=self.widening_factor,
+            layer_scale=self.layer_scale,
+            multiple_readouts=self.multiple_readouts,
+            radius=self.radius,
+            num_ori=self.num_ori,
+            output_dim_scalar=self.num_atomic_states,
+            output_dim_vec=1,  # the coordinate score
+            output_dim_global_scalar=3,  # lattice length scale factors
+            output_dim_global_vec=0,
+            output_dim_edge_scalar=0,
+            num_edge_scalar_features=4,
+            expected_degree=float(self.max_neighbors),
+            remat=self.remat,
+        )
+
+
+class DiffusionModel:
+    """Bundles the backbone, schedules and constants; all methods pure."""
+
+    def __init__(self, config: DiffusionConfig, dtype=jnp.float32):
+        self.config = config
+        self.dtype = dtype
+        self.model = PonitaFiberBundle(config.ponita_config())
+        self.ve: VESchedule = make_ve_schedule(
+            config.num_timesteps, POS_SIGMA_MIN, POS_SIGMA_MAX, dtype=dtype
+        )
+        self.vp: VPSchedule = make_vp_schedule(
+            config.num_timesteps, power=LATTICE_POWER, clipmax=LATTICE_CLIPMAX, dtype=dtype
+        )
+        self.d3pm: D3PMTables = make_d3pm_tables(
+            config.num_timesteps, config.num_atomic_states, "mask", dtype=dtype
+        )
+        # Fixed (non-trainable) Fourier frequencies, deterministic per seed —
+        # reference stores them as a requires_grad=False nn.Parameter.
+        self.fourier_w = make_fourier_weights(
+            jax.random.PRNGKey(config.fourier_seed), T_EMB_DIM // 2, FOURIER_SCALE
+        ).astype(dtype)
+        self.ori_grid = jnp.asarray(cached_grid_s2(config.num_ori), dtype=dtype)
+
+    # ---------------- init ----------------
+
+    def init(self, key: jax.Array, batch: CrystalBatch):
+        inputs = self._build_inputs(
+            noisy_frac=batch.frac_x,
+            noisy_types_onehot=jax.nn.one_hot(
+                batch.atom_types, self.config.num_atomic_states, dtype=self.dtype
+            ),
+            t=jnp.ones((batch.frac_x.shape[0],), jnp.int32),
+            num_atoms=batch.num_atoms,
+            noisy_lengths=jnp.ones((batch.frac_x.shape[0], 3), self.dtype) * 4.0,
+            angles=jnp.full((batch.frac_x.shape[0], 3), jnp.pi / 2, self.dtype),
+            atom_mask=batch.atom_mask,
+        )
+        return self.model.init(key, inputs)
+
+    # ---------------- forward ----------------
+
+    def _build_inputs(
+        self, noisy_frac, noisy_types_onehot, t, num_atoms, noisy_lengths, angles, atom_mask
+    ) -> FiberBundleInputs:
+        """Assemble backbone inputs from the noisy state (reference
+        ``predict_scores``, diffusion_loss.py:112-181)."""
+        cfg = self.config
+        noisy_lattice = lattice_from_params(noisy_lengths, angles)
+
+        beta_t = self.vp.betas[t][:, None]  # [B, 1]
+        t_emb = gaussian_fourier_features(beta_t, self.fourier_w)  # [B, 64]
+
+        B, A, _ = noisy_frac.shape
+        safe_n = jnp.maximum(num_atoms, 1).astype(self.dtype)
+        scaled_lengths = jnp.abs(noisy_lengths / safe_n[:, None])
+        per_crystal = jnp.concatenate(
+            [
+                t_emb,
+                num_atoms.astype(self.dtype)[:, None],
+                noisy_lengths,
+                angles,
+                scaled_lengths,
+            ],
+            axis=-1,
+        )  # [B, 64 + 1 + 3 + 3 + 3]
+        scalar = jnp.concatenate(
+            [
+                noisy_types_onehot,
+                jnp.broadcast_to(per_crystal[:, None, :], (B, A, per_crystal.shape[-1])),
+            ],
+            axis=-1,
+        )
+        vec = jnp.concatenate(
+            [
+                noisy_frac[:, :, None, :],
+                jnp.broadcast_to(noisy_lattice[:, None, :, :], (B, A, 3, 3)),
+            ],
+            axis=2,
+        )  # [B, A, 4, 3]
+
+        cart = frac_to_cart(noisy_frac, noisy_lattice)
+        neighbors = pbc_neighbor_list(
+            cart, noisy_lattice, atom_mask, cfg.radius, cfg.max_neighbors
+        )
+        return FiberBundleInputs(
+            scalar=scalar,
+            vec=vec,
+            neighbors=neighbors,
+            atom_mask=atom_mask,
+            lattice=noisy_lattice,
+            ori_grid=self.ori_grid,
+        )
+
+    def predict_scores(
+        self, params, noisy_frac, noisy_types_onehot, t, num_atoms, noisy_lengths, angles, atom_mask
+    ):
+        """Run the backbone on the noisy state.
+
+        Returns (pred_frac_eps ``[B, A, 3]``, pred_type_logits ``[B, A, C]``,
+        pred_lengths0 ``[B, 3]``).
+        """
+        inputs = self._build_inputs(
+            noisy_frac, noisy_types_onehot, t, num_atoms, noisy_lengths, angles, atom_mask
+        )
+        out = self.model.apply(params, inputs)
+        return out.node_vec[:, :, 0, :], out.node_scalar, out.global_scalar
+
+    # ---------------- loss ----------------
+
+    def loss(
+        self,
+        params,
+        key: jax.Array,
+        batch: CrystalBatch,
+        timestep: Optional[int] = None,
+    ) -> tuple[jax.Array, dict]:
+        """Joint diffusion loss (reference ``DiffusionLoss.__call__``,
+        diffusion_loss.py:204-274): wrapped-frac-coord MSE + D3PM hybrid +
+        lattice-length MSE, weights 1/1/1."""
+        cfg = self.config
+        B, A, _ = batch.frac_x.shape
+        k_t, k_pos, k_type, k_lat = jax.random.split(key, 4)
+
+        if timestep is None:
+            t = jax.random.randint(k_t, (B,), 1, cfg.num_timesteps + 1)
+        else:
+            t = jnp.full((B,), timestep, jnp.int32)
+        t_atom = jnp.broadcast_to(t[:, None], (B, A))
+
+        # Noise the three modalities.
+        noisy_frac, target_eps, _sigmas = ve_forward_pbc(
+            self.ve, k_pos, batch.frac_x, t, batch.lattice
+        )
+        noisy_types = d3pm_sample_xt(self.d3pm, k_type, batch.atom_types, t_atom)
+        lengths, angles = matrix_to_params(batch.lattice)
+        noisy_lengths, _len_eps = vp_forward(self.vp, k_lat, lengths, t)
+
+        noisy_types_onehot = jax.nn.one_hot(
+            noisy_types, cfg.num_atomic_states, dtype=self.dtype
+        )
+        pred_eps, pred_type_logits, pred_lengths = self.predict_scores(
+            params,
+            noisy_frac,
+            noisy_types_onehot,
+            t,
+            batch.num_atoms,
+            noisy_lengths,
+            angles,
+            batch.atom_mask,
+        )
+
+        # 1) wrapped fractional-coordinate score error (diffusion_loss.py:95-110)
+        diff = jnp.abs(pred_eps - target_eps) % 1.0
+        wrapped = jnp.minimum(diff, 1.0 - diff)
+        per_atom = jnp.sum(wrapped**2, axis=-1)  # [B, A]
+        n_valid = jnp.maximum(batch.atom_mask.sum(), 1)
+        error_coord = jnp.where(batch.atom_mask, per_atom, 0.0).sum() / n_valid
+
+        # 2) D3PM hybrid loss
+        error_type = d3pm_loss(
+            self.d3pm, batch.atom_types, pred_type_logits, noisy_types, t_atom, batch.atom_mask
+        )
+
+        # 3) lattice-length MSE against per-atom-scaled target lengths
+        safe_n = jnp.maximum(batch.num_atoms, 1).astype(self.dtype)
+        target_lengths = lengths / safe_n[:, None]
+        error_lattice = jnp.mean((pred_lengths - target_lengths) ** 2)
+
+        total = (
+            cfg.coord_loss_weight * error_coord
+            + cfg.atom_type_loss_weight * error_type
+            + cfg.lattice_loss_weight * error_lattice
+        )
+        metrics = {
+            "loss": total,
+            "loss_coord": error_coord,
+            "loss_type": error_type,
+            "loss_lattice": error_lattice,
+        }
+        return total, metrics
+
+    # ---------------- sampler ----------------
+
+    def sample(
+        self,
+        params,
+        key: jax.Array,
+        num_samples: int,
+        num_atoms_per_sample: int,
+        constant_atoms: Optional[jax.Array] = None,
+        lattice_type: str = "monoclinic",
+    ) -> CrystalBatch:
+        """Full reverse diffusion as one jit-compiled ``lax.fori_loop``
+        (reference ``DiffusionLoss.sample``, diffusion_loss.py:276-377).
+
+        Returns a :class:`CrystalBatch` of generated crystals (atom types are
+        z-table indices; decode with the z-table on the host).
+        """
+        cfg = self.config
+        B, A = num_samples, num_atoms_per_sample
+        k_ang, k_len, k_frac, k_loop = jax.random.split(key, 4)
+
+        angles = sample_bravais_angles(k_ang, lattice_type, B).astype(self.dtype)
+        lengths0 = jax.random.normal(k_len, (B, 3), self.dtype)
+        frac0 = jax.random.normal(k_frac, (B, A, 3), self.dtype) * POS_SIGMA_MAX
+        types0 = (
+            constant_atoms
+            if constant_atoms is not None
+            else jnp.full((B, A), cfg.num_atomic_states - 1)
+        )
+        num_atoms = jnp.full((B,), A)
+        atom_mask = jnp.ones((B, A), bool)
+
+        def step(i, carry):
+            frac, types, lengths, key = carry
+            timestep = cfg.num_timesteps - 1 - i  # T-1 ... 1
+            t = jnp.full((B,), timestep, jnp.int32)
+            t_atom = jnp.broadcast_to(t[:, None], (B, A))
+            key, k_lat, k_pos, k_type = jax.random.split(key, 4)
+
+            types_onehot = jax.nn.one_hot(types, cfg.num_atomic_states, dtype=self.dtype)
+            pred_eps, pred_type_logits, pred_lengths = self.predict_scores(
+                params, frac, types_onehot, t, num_atoms, lengths, angles, atom_mask
+            )
+            pred_lengths_scaled = pred_lengths * num_atoms.astype(self.dtype)[:, None]
+            lengths = vp_reverse_given_x0(self.vp, k_lat, lengths, pred_lengths_scaled, t)
+            frac = ve_reverse_step(self.ve, k_pos, frac, pred_eps, t)
+            types = d3pm_reverse_step(self.d3pm, k_type, types, pred_type_logits, t_atom)
+            if constant_atoms is not None:
+                types = constant_atoms
+            return frac, types, lengths, key
+
+        frac, types, lengths, _ = jax.lax.fori_loop(
+            0, cfg.num_timesteps - 1, step, (frac0, types0, lengths0, k_loop)
+        )
+        lattice = lattice_from_params(lengths, angles)
+        return CrystalBatch(
+            frac_x=frac,
+            atom_types=types,
+            lattice=lattice,
+            num_atoms=num_atoms,
+            atom_mask=atom_mask,
+        )

@@ -1,0 +1,69 @@
+"""Jit-compiled train/eval steps with data-parallel sharding.
+
+The reference's training orchestration is a Lightning Trainer
+(/root/reference/main_diffusion.py:293-310); here a train step is one pure
+function (noise -> PBC graph rebuild -> backbone -> losses -> grads -> Adam ->
+EMA) compiled into a single XLA program, and the driver loop is a plain
+Python ``for`` over host batches. Multi-chip: batches arrive sharded over the
+mesh's ``data`` axis, params are replicated, and XLA turns the gradient
+reduction into ``all-reduce`` over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from arreau_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from arreau_tpu.train.state import TrainState, apply_gradients
+
+
+def make_train_step(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    ``loss_fn(params, key, batch) -> (loss, metrics)``.
+    With a mesh, the batch is expected sharded on its leading axis and the
+    state replicated; jit's sharding propagation inserts the grad psum.
+    """
+
+    def step(state: TrainState, key, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, batch
+        )
+        new_state = apply_gradients(state, grads, tx)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, rep, data)
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(loss_fn: Callable, mesh=None, use_ema: bool = False):
+    def step(state: TrainState, key, batch):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        _, metrics = loss_fn(params, key, batch)
+        return metrics
+
+    kwargs = {}
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, rep, data)
+        kwargs["out_shardings"] = rep
+    return jax.jit(step, **kwargs)
