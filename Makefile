@@ -1,0 +1,30 @@
+# Canonical targets, mirroring the reference Makefile (/root/reference/Makefile)
+.PHONY: train train-dev generate prep-datasets profile test bench equivariance
+
+prep-datasets:
+	python -m arreau_tpu.data.prep
+
+train:
+	python -m arreau_tpu.cli.train_diffusion --num_timesteps=1000 --radius=5 \
+		--max_neighbors=8 --batch_size=270 --lr=0.0003 --hidden_dim=200
+
+train-dev:
+	python -m arreau_tpu.cli.train_diffusion --dataset=synthetic --epochs=20 \
+		--num_timesteps=1000 --radius=5 --max_neighbors=8 --batch_size=64 \
+		--lr=0.0003 --hidden_dim=64 --basis_dim=64 --val_interval=5
+
+generate:
+	python -m arreau_tpu.cli.generate --checkpoint_dir=checkpoints --tag=last
+
+profile:
+	python -m arreau_tpu.cli.train_diffusion --dataset=synthetic --epochs=3 \
+		--num_timesteps=100 --radius=5 --max_neighbors=8 --profiler=jax
+
+equivariance:
+	python -m arreau_tpu.exploration.verify_equivariance
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py

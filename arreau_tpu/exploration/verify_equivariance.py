@@ -1,0 +1,88 @@
+"""Equivariance verification harness.
+
+Capability parity with the reference's ``eval-equivariance`` mode
+(/root/reference/exploration/verify_model_is_equivariant.py:11-77 +
+main_diffusion.py:187-199): train on ONE crystal, validate on the SAME
+crystal rotated 90 degrees about z, with a pinned diffusion timestep for both
+— if the model is equivariant, train loss ~= valid loss.
+
+Run directly for a self-contained check:
+    python -m arreau_tpu.exploration.verify_equivariance
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _rotate_packed(packed, angle_deg: float = 90.0):
+    from arreau_tpu.data.crystal import PackedCrystals
+
+    theta = np.deg2rad(angle_deg)
+    c, s = np.cos(theta), np.sin(theta)
+    rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    return PackedCrystals(
+        atomic_numbers=packed.atomic_numbers.copy(),
+        frac_coords=packed.frac_coords.copy(),  # frac coords are basis-relative
+        offsets=packed.offsets.copy(),
+        lattices=packed.lattices @ rot.T,
+    )
+
+
+def build_equivariance_datasets(data_dir: str):
+    """(dataset, splits, z_table, pinned_timestep): index 0 is the original
+    crystal, index 1 its rotation."""
+    from arreau_tpu.data.crystal import CrystalDataset, PackedCrystals, read_h5
+
+    take1 = os.path.join(data_dir, "alexandria_ps_000_take10.h5")
+    if os.path.exists(take1):
+        base = read_h5(take1)
+        one = PackedCrystals(
+            atomic_numbers=base.atomic_numbers[: base.offsets[1]],
+            frac_coords=base.frac_coords[: base.offsets[1]],
+            offsets=base.offsets[:2],
+            lattices=base.lattices[:1],
+        )
+    else:
+        from arreau_tpu.data.synthetic import synthetic_packed
+
+        one_ds = synthetic_packed(1, seed=0, max_atoms=8, min_atoms=6)
+        one = one_ds.packed
+    both = one.concat(_rotate_packed(one))
+    ds = CrystalDataset.from_packed(both)
+    splits = {
+        "train": np.array([0]),
+        "valid": np.array([1]),
+        "test": np.array([1]),
+    }
+    from arreau_tpu.cli.train_diffusion import EVAL_EQUIVARIANCE_TIMESTEP
+
+    return ds, splits, ds.z_table, EVAL_EQUIVARIANCE_TIMESTEP
+
+
+def main():
+    """Short training run; prints train/valid losses which should track each
+    other closely if (and only if) the model is equivariant."""
+    from arreau_tpu.cli.train_diffusion import main as train_main
+
+    train_main(
+        [
+            "--dataset", "eval-equivariance",
+            "--epochs", "40",
+            "--val_interval", "10",
+            "--num_timesteps", "300",
+            "--batch_size", "4",
+            "--hidden_dim", "32",
+            "--basis_dim", "32",
+            "--layers", "2",
+            "--num_ori", "8",
+            "--log", "False",
+            "--checkpoint_dir", "out/eval-equivariance-ckpt",
+        ]
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -128,8 +128,8 @@ class FiberBundleConv(nn.Module):
         num_ori = fiber_kernel.shape[0]
         x_out = jnp.einsum("baoc,opc->bapc", x_spatial, fiber_kernel) / num_ori
 
-        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        return x_out + bias, messages
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        return x_out + bias.astype(x_out.dtype), messages
 
 
 class ConvNextBlock(nn.Module):
@@ -157,6 +157,7 @@ class ConvNextBlock(nn.Module):
                 "layer_scale",
                 nn.initializers.constant(self.layer_scale_init),
                 (self.channels,),
+                jnp.float32,
             )
-            x = gamma * x
+            x = gamma.astype(x.dtype) * x
         return residual + x, messages

@@ -51,6 +51,20 @@ FOURIER_SCALE = 16.0
 T_EMB_DIM = 64
 
 
+def rotate_batch(key: jax.Array, batch: "CrystalBatch") -> "CrystalBatch":
+    """Random SO(3) rotation augmentation: one rotation per crystal applied to
+    the lattice rows (cartesian positions follow implicitly through
+    ``frac @ L``; fractional coords are rotation-invariant lengths and stay
+    fixed — matching the reference's RotateDef choice at
+    /root/reference/lightning_wrappers/diffusion.py:55-58)."""
+    from arreau_tpu.ops.grids import random_so3_matrix
+
+    B = batch.lattice.shape[0]
+    rot = random_so3_matrix(key, (B,)).astype(batch.lattice.dtype)
+    new_lattice = jnp.einsum("brj,bij->bri", batch.lattice, rot)  # rows @ R^T
+    return batch._replace(lattice=new_lattice)
+
+
 class CrystalBatch(NamedTuple):
     """Immutable dense crystal batch.
 

@@ -1,0 +1,69 @@
+"""Orbax checkpointing: params + opt state + EMA + step + task metadata.
+
+Replaces the reference's Lightning ``ModelCheckpoint`` + ``save_hyperparameters``
++ EMA sidecar logic (main_diffusion.py:268-276,
+lightning_wrappers/callbacks.py:134-171): checkpoints are self-describing
+(config dict + z-table ride along) so generation needs no CLI args, best/last
+tracking is done by the caller via ``save(tag=...)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from arreau_tpu.train.state import TrainState
+
+
+def _meta_path(directory: str) -> str:
+    return os.path.join(directory, "meta.json")
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax StandardCheckpointer with best/last tags."""
+
+    def __init__(self, directory: str, meta: Optional[dict] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        if meta is not None:
+            with open(_meta_path(self.directory), "w") as f:
+                json.dump(meta, f, indent=2, default=str)
+
+    def path(self, tag: str) -> str:
+        return os.path.join(self.directory, tag)
+
+    def save(self, state: TrainState, tag: str = "last") -> None:
+        target = self.path(tag)
+        self._ckptr.save(target, state, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, template: TrainState, tag: str = "last") -> TrainState:
+        return self._ckptr.restore(self.path(tag), template)
+
+    def restore_raw(self, tag: str = "last"):
+        """Restore without a template (raw pytree-of-arrays as saved).
+
+        Useful for inference, where only ``params``/``ema_params`` are needed
+        and the optimizer-state structure may not match the current
+        optimizer."""
+        return self._ckptr.restore(self.path(tag))
+
+    def load_meta(self) -> dict:
+        with open(_meta_path(self.directory)) as f:
+            return json.load(f)
+
+    def has(self, tag: str = "last") -> bool:
+        return os.path.exists(self.path(tag))
+
+
+def diffusion_meta(config, z_table) -> dict:
+    """Self-describing metadata for diffusion checkpoints (config + z-table,
+    like the reference's ``z_table_zs`` buffer + ``save_hyperparameters``)."""
+    return {"config": asdict(config), "z_table_zs": list(map(int, z_table.zs))}
