@@ -1,0 +1,159 @@
+"""N-body training CLI.
+
+Capability parity with /root/reference/main_nbody.py:33-229: same knob set
+(epochs, warmup, batch_size, lr, weight_decay, seed, val_interval,
+train_augm default True, max_training_samples 3000, nbody_small dataset,
+model shape flags), MSE metric, best/last checkpoints. The dataset is
+generated on demand by the bundled JAX simulator if the npz artifacts are
+absent.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train Ponita on charged N-body dynamics")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--val_interval", type=int, default=5)
+    p.add_argument("--train_augm", type=eval, default=True)
+    p.add_argument("--max_training_samples", type=int, default=3000)
+    p.add_argument("--dataset", type=str, default="nbody_small")
+    p.add_argument("--data_dir", type=str, default="datasets/nbody")
+    p.add_argument("--radius", type=eval, default=None)
+    p.add_argument("--num_ori", type=int, default=16)
+    p.add_argument("--hidden_dim", type=int, default=128)
+    p.add_argument("--basis_dim", type=int, default=256)
+    p.add_argument("--degree", type=int, default=3)
+    p.add_argument("--layers", type=int, default=5)
+    p.add_argument("--widening_factor", type=int, default=4)
+    p.add_argument("--layer_scale", type=float, default=0.0)
+    p.add_argument("--multiple_readouts", type=eval, default=True)
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints-nbody")
+    p.add_argument("--max_steps", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from arreau_tpu.data.nbody import load_or_generate
+    from arreau_tpu.parallel.mesh import make_mesh, shard_batch
+    from arreau_tpu.tasks.nbody import NBodyBatch, NBodyConfig, NBodyModel, rotate_nbody_batch
+    from arreau_tpu.train.checkpoint import CheckpointManager
+    from arreau_tpu.train.loop import make_eval_step, make_train_step
+    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics
+    from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
+    from arreau_tpu.train.state import create_train_state
+
+    splits = {
+        split: load_or_generate(
+            args.data_dir, split, num_train=max(args.max_training_samples, 1000),
+            dataset_name=args.dataset, seed=43,
+            max_samples=args.max_training_samples if split == "train" else None,
+        )
+        for split in ("train", "valid", "test")
+    }
+
+    cfg = NBodyConfig(
+        hidden_dim=args.hidden_dim,
+        basis_dim=args.basis_dim,
+        degree=args.degree,
+        num_layers=args.layers,
+        num_ori=args.num_ori,
+        widening_factor=args.widening_factor,
+        layer_scale=args.layer_scale if args.layer_scale != 0.0 else None,
+        multiple_readouts=args.multiple_readouts,
+        radius=args.radius,
+    )
+    model = NBodyModel(cfg)
+    mesh = make_mesh()
+
+    def batches(split, shuffle, rng):
+        ex = splits[split]
+        idx = rng.permutation(len(ex)) if shuffle else np.arange(len(ex))
+        bs = args.batch_size
+        for s in range(0, len(idx) - bs + 1, bs):
+            chunk = idx[s : s + bs]
+            yield NBodyBatch(
+                pos=jnp.asarray(ex.loc0[chunk], jnp.float32),
+                vel=jnp.asarray(ex.vel0[chunk], jnp.float32),
+                charges=jnp.asarray(ex.charges[chunk], jnp.float32),
+                target_pos=jnp.asarray(ex.loc_end[chunk], jnp.float32),
+            )
+
+    rng = np.random.default_rng(args.seed)
+    first = next(batches("train", False, rng))
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params = model.init(init_key, first)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    steps_per_epoch = max(len(splits["train"]) // args.batch_size, 1)
+    print(f"nbody model: {n_params/1e6:.2f}M params | steps/epoch {steps_per_epoch}")
+
+    schedule = cosine_warmup_schedule(args.lr, args.warmup, args.epochs, steps_per_epoch)
+    tx = make_optimizer(schedule, args.weight_decay, grad_clip=0.5)
+    state = create_train_state(params, tx, ema_decay=0.99)
+    train_step = make_train_step(model.loss, tx, mesh=mesh)
+    eval_step = make_eval_step(model.loss, mesh=mesh, use_ema=True)
+
+    ckpt = CheckpointManager(args.checkpoint_dir, {"config": vars(args)})
+    timer = EpochTimer()
+    best = float("inf")
+    global_step = 0
+    for epoch in range(args.epochs):
+        timer.epoch_start()
+        tm = MeanMetrics()
+        for batch in batches("train", True, rng):
+            batch = shard_batch(batch, mesh)
+            key, k_rot, k_step = jax.random.split(key, 3)
+            if args.train_augm:
+                batch = rotate_nbody_batch(k_rot, batch)
+            state, metrics = train_step(state, k_step, batch)
+            tm.update(metrics)
+            global_step += 1
+            if args.max_steps and global_step >= args.max_steps:
+                break
+        dt = timer.epoch_end()
+        t = tm.compute()
+        print(f"epoch {epoch} | train MSE {t.get('mse', float('nan')):.6f} | {dt:.1f}s")
+
+        if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
+            vm = MeanMetrics()
+            for batch in batches("valid", False, rng):
+                key, k_eval = jax.random.split(key)
+                vm.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
+            v = vm.compute().get("mse", float("nan"))
+            print(f"epoch {epoch} | valid MSE {v:.6f}")
+            ckpt.save(state, "last")
+            if v < best:
+                best = v
+                ckpt.save(state, "best")
+        if args.max_steps and global_step >= args.max_steps:
+            break
+
+    print(timer.summary())
+    if ckpt.has("best"):
+        state = ckpt.restore(state, "best")
+    tmets = MeanMetrics()
+    for batch in batches("test", False, rng):
+        key, k_eval = jax.random.split(key)
+        tmets.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
+    test_mse = tmets.compute().get("mse", float("nan"))
+    print(f"test MSE {test_mse:.6f}")
+    return test_mse
+
+
+if __name__ == "__main__":
+    main()
