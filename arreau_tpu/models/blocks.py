@@ -68,13 +68,14 @@ class BasisMLP(nn.Module):
     hidden_dim: int
     basis_dim: int
     degree: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, attr: jax.Array) -> jax.Array:
         h = polynomial_features(attr, self.degree)
-        h = nn.Dense(self.hidden_dim, name="dense_in")(h)
+        h = nn.Dense(self.hidden_dim, name="dense_in", dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.basis_dim, name="dense_out")(h)
+        h = nn.Dense(self.basis_dim, name="dense_out", dtype=self.dtype)(h)
         return nn.gelu(h)
 
 
@@ -97,6 +98,7 @@ class FiberBundleConv(nn.Module):
 
     channels: int
     expected_degree: float = 8.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -112,6 +114,7 @@ class FiberBundleConv(nn.Module):
             self.channels,
             use_bias=False,
             name="spatial_kernel",
+            dtype=self.dtype,
             kernel_init=nn.initializers.variance_scaling(scale, "fan_in", "truncated_normal"),
         )(kernel_basis)  # [B, A, K, O, C]
 
@@ -119,14 +122,22 @@ class FiberBundleConv(nn.Module):
         B, A, K = src.shape
         idx = src.reshape(B, A * K)[:, :, None, None]  # [B, A*K, 1, 1]
         x_j = jnp.take_along_axis(x, idx, axis=1).reshape(B, A, K, *x.shape[2:])
-        messages = kernel * x_j
+        messages = kernel * x_j.astype(kernel.dtype)
         x_spatial = jnp.where(edge_mask[..., None, None], messages, 0.0).sum(axis=2)
 
         fiber_kernel = nn.Dense(
-            self.channels, use_bias=False, name="fiber_kernel"
+            self.channels, use_bias=False, name="fiber_kernel", dtype=self.dtype
         )(fiber_kernel_basis)  # [O, O, C]
         num_ori = fiber_kernel.shape[0]
-        x_out = jnp.einsum("baoc,opc->bapc", x_spatial, fiber_kernel) / num_ori
+        x_out = (
+            jnp.einsum(
+                "baoc,opc->bapc",
+                x_spatial,
+                fiber_kernel,
+                preferred_element_type=jnp.float32,
+            )
+            / num_ori
+        )
 
         bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
         return x_out + bias.astype(x_out.dtype), messages
@@ -141,17 +152,20 @@ class ConvNextBlock(nn.Module):
     layer_scale_init: Optional[float] = 1e-6
     act: Callable = nn.gelu
     expected_degree: float = 8.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, kernel_basis, fiber_kernel_basis, src, edge_mask):
         residual = x
         x, messages = FiberBundleConv(
-            self.channels, expected_degree=self.expected_degree, name="conv"
+            self.channels, expected_degree=self.expected_degree, dtype=self.dtype,
+            name="conv",
         )(x, kernel_basis, fiber_kernel_basis, src, edge_mask)
-        x = nn.LayerNorm(name="norm")(x)
-        x = nn.Dense(self.widening_factor * self.channels, name="linear_1")(x)
+        # LayerNorm stays in f32 for numerically stable statistics
+        x = nn.LayerNorm(name="norm")(x.astype(jnp.float32))
+        x = nn.Dense(self.widening_factor * self.channels, name="linear_1", dtype=self.dtype)(x)
         x = self.act(x)
-        x = nn.Dense(self.channels, name="linear_2")(x)
+        x = nn.Dense(self.channels, name="linear_2", dtype=self.dtype)(x)
         if self.layer_scale_init is not None:
             gamma = self.param(
                 "layer_scale",

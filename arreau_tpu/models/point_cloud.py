@@ -1,0 +1,275 @@
+"""Ponita point-cloud modes, re-designed for dense static-shape batches.
+
+Capability parity targets:
+  * ``PonitaPointCloud`` with position-orientation lifting (num_ori = -1) —
+    /root/reference/ponita/models/ponita.py:165-273 and the lifting
+    transform /root/reference/ponita/transforms/position_orientation_graph.py:91-171.
+  * plain point-cloud mode (num_ori = 0) — same classes with attr = dists.
+
+TPU-first re-design of the lifting: the reference turns every directed edge
+into a lifted node and wires lifted edges through SparseTensor lookups with
+dynamic shapes. Here a lifted node is the dense slot ``(receiver t, slot k)``
+of the fixed-degree neighbor list (base orientation = direction from source
+to receiver), and the lifted adjacency is implicit: lifted node (t, k)
+receives from all K slots of each base node in ``N(t) ∪ {t}`` — a gather of
+``(K+1) * K`` sources with masks, no index plumbing at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from arreau_tpu.models.blocks import BasisMLP
+from arreau_tpu.ops.pbc import NeighborList
+from arreau_tpu.ops.windowing import polynomial_cutoff
+
+_EPS = 1e-8
+
+
+@dataclass(frozen=True)
+class PointCloudConfig:
+    hidden_dim: int = 128
+    basis_dim: int = 256
+    degree: int = 3
+    num_layers: int = 5
+    widening_factor: int = 4
+    layer_scale: Optional[float] = None
+    multiple_readouts: bool = True
+    radius: Optional[float] = None
+    output_dim_scalar: int = 1
+    output_dim_vec: int = 0
+    lifted: bool = True  # num_ori = -1 mode; False => plain point cloud (num_ori = 0)
+    graph_pooling: bool = True  # task_level == 'graph'
+    expected_degree: float = 8.0
+
+
+class PointCloudInputs(NamedTuple):
+    """pos [B, N, D], scalar [B, N, F], vec [B, N, V, D] (may be zero-width),
+    neighbors (base fixed-degree list), node_mask [B, N]."""
+
+    pos: jax.Array
+    scalar: jax.Array
+    vec: jax.Array
+    neighbors: NeighborList
+    node_mask: jax.Array
+
+
+class PointCloudOutputs(NamedTuple):
+    scalar: Optional[jax.Array]  # [B, out_s] if pooled else [B, N, out_s]
+    vec: Optional[jax.Array]  # [B, out_v, D] if pooled else [B, N, out_v, D]
+
+
+class _LiftedConv(nn.Module):
+    """Depthwise conv over the implicit lifted adjacency.
+
+    x: [B, N, K, C] lifted features. For each lifted receiver (t, k) the
+    sources are the lifted slots of the (K+1) base nodes {t} ∪ N(t).
+    The per-pair attributes are the 3 R^3xS^2 point-cloud invariants
+    (reference geometry/invariants.py:38-47).
+    """
+
+    channels: int
+    basis_dim: int
+    hidden_dim: int
+    degree: int
+    radius: Optional[float]
+    expected_degree: float
+
+    @nn.compact
+    def __call__(self, x, lifted_ori, pos, neighbors: NeighborList, lifted_mask):
+        B, N, K, C = x.shape
+        src = neighbors.src  # [B, N, K]
+        # base source set per receiver node t: itself + its K neighbors
+        bases = jnp.concatenate([jnp.broadcast_to(jnp.arange(N, dtype=src.dtype)[None, :, None], (B, N, 1)), src], axis=2)  # [B, N, K+1]
+        base_valid = jnp.concatenate([jnp.ones((B, N, 1), bool), neighbors.mask], axis=2)
+
+        def gather_nodes(arr, idx):
+            # arr [B, N, ...], idx [B, N, K+1] -> [B, N, K+1, ...]
+            flat = idx.reshape(B, -1)
+            extra = arr.shape[2:]
+            out = jnp.take_along_axis(
+                arr.reshape(B, N, -1), flat[..., None], axis=1
+            )
+            return out.reshape(B, N, idx.shape[2], *extra)
+
+        # positions/orientations/features of all lifted slots of each base
+        pos_s = gather_nodes(pos, bases)  # [B, N, K+1, D]
+        ori_s = gather_nodes(lifted_ori, bases)  # [B, N, K+1, K, D]
+        x_s = gather_nodes(x, bases)  # [B, N, K+1, K, C]
+        mask_s = gather_nodes(lifted_mask.astype(jnp.int32), bases).astype(bool)
+        mask_s &= base_valid[..., None]  # [B, N, K+1, K]
+
+        # invariants between lifted receiver (t, k) and source (s, m):
+        rel = pos_s[:, :, None, :, :] - pos[:, :, None, None, :]  # [B, N, 1, K+1, D] recv-broadcast
+        # shapes: receiver slot axis k must broadcast; arrange as [B, N, Kr, K+1, Ks, ...]
+        rel = rel[:, :, :, :, None, :]  # [B, N, 1, K+1, 1, D]
+        ori_r = lifted_ori[:, :, :, None, None, :]  # [B, N, Kr, 1, 1, D]
+        ori_sb = ori_s[:, :, None, :, :, :]  # [B, N, 1, K+1, Ks, D]
+        inv1 = jnp.sum(rel * ori_r, axis=-1, keepdims=True)
+        rej = rel - ori_r * inv1
+        inv2 = jnp.sqrt(jnp.sum(rej**2, axis=-1, keepdims=True) + _EPS**2)
+        inv3 = jnp.sum(ori_sb * ori_r, axis=-1, keepdims=True)
+        inv1 = jnp.broadcast_to(inv1, (*inv3.shape[:-1], 1))
+        inv2 = jnp.broadcast_to(inv2, (*inv3.shape[:-1], 1))
+        attr = jnp.concatenate([inv1, inv2, inv3], axis=-1)  # [B,N,Kr,K+1,Ks,3]
+
+        basis = BasisMLP(self.hidden_dim, self.basis_dim, self.degree, name="basis_fn")(attr)
+        if self.radius is not None:
+            dist = jnp.sqrt(jnp.sum(rel**2, axis=-1) + _EPS**2)
+            basis = basis * polynomial_cutoff(dist, self.radius)[..., None]
+        scale = 1.0 / jnp.sqrt(self.expected_degree)
+        kernel = nn.Dense(
+            self.channels, use_bias=False, name="kernel",
+            kernel_init=nn.initializers.variance_scaling(scale, "fan_in", "truncated_normal"),
+        )(basis)  # [B, N, Kr, K+1, Ks, C]
+
+        msg = kernel * x_s[:, :, None, :, :, :]
+        msg = jnp.where(mask_s[:, :, None, :, :, None], msg, 0.0)
+        out = msg.sum(axis=(3, 4))  # [B, N, Kr, C]
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        return out + bias.astype(out.dtype)
+
+
+class _PlainConv(nn.Module):
+    """Depthwise conv on base nodes with distance-only attributes (num_ori=0
+    mode: reference ``to_p_point_cloud`` + ``invariant_attr_rn``)."""
+
+    channels: int
+    basis_dim: int
+    hidden_dim: int
+    degree: int
+    radius: Optional[float]
+    expected_degree: float
+
+    @nn.compact
+    def __call__(self, x, neighbors: NeighborList):
+        B, N, C = x.shape
+        attr = neighbors.dist[..., None]  # [B, N, K, 1]
+        basis = BasisMLP(self.hidden_dim, self.basis_dim, self.degree, name="basis_fn")(attr)
+        if self.radius is not None:
+            basis = basis * polynomial_cutoff(neighbors.dist, self.radius)[..., None]
+        scale = 1.0 / jnp.sqrt(self.expected_degree)
+        kernel = nn.Dense(
+            self.channels, use_bias=False, name="kernel",
+            kernel_init=nn.initializers.variance_scaling(scale, "fan_in", "truncated_normal"),
+        )(basis)
+        src = neighbors.src.reshape(B, -1)
+        x_j = jnp.take_along_axis(x, src[..., None], axis=1).reshape(B, N, -1, C)
+        msg = kernel * x_j
+        msg = jnp.where(neighbors.mask[..., None], msg, 0.0)
+        out = msg.sum(axis=2)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        return out + bias.astype(out.dtype)
+
+
+class _ConvNextPC(nn.Module):
+    channels: int
+    conv: nn.Module
+    widening_factor: int
+    layer_scale_init: Optional[float]
+
+    @nn.compact
+    def __call__(self, x, *conv_args):
+        residual = x
+        x = self.conv(x, *conv_args)
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dense(self.widening_factor * self.channels, name="linear_1")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.channels, name="linear_2")(x)
+        if self.layer_scale_init is not None:
+            gamma = self.param(
+                "layer_scale", nn.initializers.constant(self.layer_scale_init),
+                (self.channels,), jnp.float32,
+            )
+            x = gamma.astype(x.dtype) * x
+        return residual + x
+
+
+class PonitaPointCloud(nn.Module):
+    config: PointCloudConfig
+
+    @nn.compact
+    def __call__(self, inputs: PointCloudInputs) -> PointCloudOutputs:
+        cfg = self.config
+        nb = inputs.neighbors
+        B, N, D = inputs.pos.shape
+        K = nb.src.shape[-1]
+
+        if cfg.lifted:
+            # lifted node (t, k): base t, orientation = normalized direction
+            # from source to receiver (reference ori_t = (pos_s - pos_t)/dist
+            # with pos_s the SOURCE; note our direction = pos_src - pos_recv)
+            dist = jnp.maximum(nb.dist[..., None], _EPS)
+            lifted_ori = nb.direction / dist  # [B, N, K, D]
+            lifted_mask = nb.mask & inputs.node_mask[..., None]
+            # lifted features: scalars of the base (receiver) + <vec, ori>
+            feats = [jnp.broadcast_to(inputs.scalar[:, :, None, :], (B, N, K, inputs.scalar.shape[-1]))]
+            if inputs.vec is not None and inputs.vec.shape[-2] > 0:
+                feats.append(jnp.einsum("bnvd,bnkd->bnkv", inputs.vec, lifted_ori))
+            h = jnp.concatenate(feats, axis=-1)
+            h = nn.Dense(cfg.hidden_dim, use_bias=False, name="x_embedder")(h)
+        else:
+            h = nn.Dense(cfg.hidden_dim, use_bias=False, name="x_embedder")(inputs.scalar)
+
+        out_total = cfg.output_dim_scalar + cfg.output_dim_vec
+        readouts = []
+        for i in range(cfg.num_layers):
+            if cfg.lifted:
+                conv = _LiftedConv(
+                    cfg.hidden_dim, cfg.basis_dim, cfg.hidden_dim, cfg.degree,
+                    cfg.radius, cfg.expected_degree, name=f"conv_{i}",
+                )
+                block = _ConvNextPC(
+                    cfg.hidden_dim, conv, cfg.widening_factor, cfg.layer_scale,
+                    name=f"layer_{i}",
+                )
+                h = block(h, lifted_ori, inputs.pos, nb, lifted_mask)
+            else:
+                conv = _PlainConv(
+                    cfg.hidden_dim, cfg.basis_dim, cfg.hidden_dim, cfg.degree,
+                    cfg.radius, cfg.expected_degree, name=f"conv_{i}",
+                )
+                block = _ConvNextPC(
+                    cfg.hidden_dim, conv, cfg.widening_factor, cfg.layer_scale,
+                    name=f"layer_{i}",
+                )
+                h = block(h, nb)
+            if cfg.multiple_readouts or i == cfg.num_layers - 1:
+                readouts.append(nn.Dense(out_total, name=f"readout_{i}")(h))
+        readout = sum(readouts) / len(readouts)
+
+        r_scalar = readout[..., : cfg.output_dim_scalar]
+        r_vec = readout[..., cfg.output_dim_scalar :]
+
+        if cfg.lifted:
+            # project lifted predictions back to base nodes (scatter_mean over
+            # the K lifted slots), then optionally pool over the graph
+            denom = jnp.maximum(lifted_mask.sum(axis=2, keepdims=False)[..., None], 1)
+            node_scalar = jnp.where(lifted_mask[..., None], r_scalar, 0.0).sum(axis=2) / denom
+            node_vec = None
+            if cfg.output_dim_vec:
+                weighted = r_vec[..., None] * lifted_ori[:, :, :, None, :]
+                node_vec = jnp.where(
+                    lifted_mask[..., None, None], weighted, 0.0
+                ).sum(axis=2) / denom[..., None]
+        else:
+            node_scalar = r_scalar
+            node_vec = None
+
+        nmask = inputs.node_mask[..., None]
+        if cfg.graph_pooling:
+            scalar = jnp.where(nmask, node_scalar, 0.0).sum(axis=1)
+            vec = (
+                jnp.where(nmask[..., None], node_vec, 0.0).sum(axis=1)
+                if node_vec is not None
+                else None
+            )
+        else:
+            scalar = node_scalar
+            vec = node_vec
+        return PointCloudOutputs(scalar=scalar, vec=vec)

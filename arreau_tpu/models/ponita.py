@@ -66,6 +66,9 @@ class PonitaConfig:
     num_edge_scalar_features: int = 4
     expected_degree: float = 8.0
     remat: bool = True  # rematerialize each interaction layer (saves HBM)
+    # compute dtype for the Dense layers ("bfloat16" halves HBM traffic and
+    # doubles MXU rate on TPU; params and LayerNorm stay float32). None = f32.
+    compute_dtype: Optional[str] = None
 
 
 class FiberBundleInputs(NamedTuple):
@@ -108,12 +111,21 @@ def fiber_bundle_invariants(
     orthogonal components of each edge direction w.r.t. each grid orientation,
     and the pairwise orientation inner products.
     """
-    direction = neighbors.direction  # [B, A, K, 3]
+    direction = neighbors.direction  # [B, A, K, D]
     inv1 = jnp.einsum("bakd,od->bako", direction, ori_grid)[..., None]
-    rej = direction[..., None, :] - inv1 * ori_grid  # [B, A, K, O, 3]
-    # eps under the sqrt keeps the gradient finite on masked zero-direction
-    # slots (plain norm has a NaN gradient at exactly 0).
-    inv2 = jnp.sqrt(jnp.sum(rej**2, axis=-1, keepdims=True) + _EPS**2)
+    if ori_grid.shape[-1] == 2:
+        # 2D (R^2 x S^1): the orthogonal component keeps its SIGN (chirality
+        # matters for SO(2); reference invariant_attr_r2s1_fiber_bundle,
+        # geometry/invariants.py:49-76: inv2 = -rel_x ori_y + rel_y ori_x).
+        inv2 = (
+            -direction[..., None, 0] * ori_grid[None, None, None, :, 1]
+            + direction[..., None, 1] * ori_grid[None, None, None, :, 0]
+        )[..., None]
+    else:
+        rej = direction[..., None, :] - inv1 * ori_grid  # [B, A, K, O, 3]
+        # eps under the sqrt keeps the gradient finite on masked zero-direction
+        # slots (plain norm has a NaN gradient at exactly 0).
+        inv2 = jnp.sqrt(jnp.sum(rej**2, axis=-1, keepdims=True) + _EPS**2)
     spatial = jnp.concatenate([inv1, inv2], axis=-1)
     fiber = jnp.einsum("od,pd->op", ori_grid, ori_grid)[..., None]
     return spatial, fiber, neighbors.dist
@@ -144,6 +156,7 @@ class PonitaFiberBundle(nn.Module):
         cfg = self.config
         nb = inputs.neighbors
         num_ori = inputs.ori_grid.shape[0]
+        cdtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
 
         # ---- Lift features to the sphere --------------------------------
         lifted = [scalar_to_sphere(inputs.scalar, num_ori)]
@@ -163,15 +176,16 @@ class PonitaFiberBundle(nn.Module):
 
         window = polynomial_cutoff(dists, cfg.radius)[..., None, None]
         kernel_basis = (
-            BasisMLP(cfg.hidden_dim, cfg.basis_dim, cfg.degree, name="basis_fn")(attr)
-            * window
+            BasisMLP(cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="basis_fn")(attr)
+            * window.astype(cdtype or window.dtype)
         )
         fiber_kernel_basis = BasisMLP(
-            cfg.hidden_dim, cfg.basis_dim, cfg.degree, name="fiber_basis_fn"
+            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="fiber_basis_fn"
         )(fiber_attr)
 
         # ---- Embed + interaction/readout stack --------------------------
-        x = nn.Dense(cfg.hidden_dim, use_bias=False, name="x_embedder")(x)
+        x = nn.Dense(cfg.hidden_dim, use_bias=False, name="x_embedder", dtype=cdtype)(x)
+        x = x.astype(jnp.float32)
 
         out_total = (
             cfg.output_dim_scalar
@@ -191,6 +205,7 @@ class PonitaFiberBundle(nn.Module):
                 widening_factor=cfg.widening_factor,
                 layer_scale_init=cfg.layer_scale,
                 expected_degree=cfg.expected_degree,
+                dtype=cdtype,
                 name=f"layer_{i}",
             )(x, kernel_basis, fiber_kernel_basis, nb.src, nb.mask)
             if cfg.multiple_readouts or i == cfg.num_layers - 1:

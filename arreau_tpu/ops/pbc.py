@@ -149,7 +149,9 @@ def pbc_neighbor_list(
     # Gather direction vectors for the selected slots.
     flat_diff = diff.reshape(B, A, A * NUM_IMAGES, 3)
     direction = jnp.take_along_axis(flat_diff, flat_idx[..., None], axis=2)
-    dist = jnp.sqrt(jnp.where(mask, topk_sqr, 0.0))
+    # double-where keeps the sqrt gradient finite on masked slots
+    safe_sqr = jnp.where(mask, topk_sqr, 1.0)
+    dist = jnp.where(mask, jnp.sqrt(safe_sqr), 0.0)
     direction = jnp.where(mask[..., None], direction, 0.0)
     src = jnp.where(mask, src, 0)
     image = jnp.where(mask, image, 0)

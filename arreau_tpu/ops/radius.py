@@ -57,7 +57,10 @@ def radius_neighbor_list(
     slot_mask = topk_sqr < big
 
     direction = jnp.take_along_axis(diff, src[..., None], axis=2)
-    dist = jnp.sqrt(jnp.where(slot_mask, jnp.maximum(topk_sqr, 0.0), 0.0))
+    # double-where keeps the sqrt gradient finite on masked slots (tasks like
+    # MD17 differentiate energies through this neighbor list)
+    safe_sqr = jnp.where(slot_mask, jnp.maximum(topk_sqr, 0.0), 1.0)
+    dist = jnp.where(slot_mask, jnp.sqrt(safe_sqr), 0.0)
     direction = jnp.where(slot_mask[..., None], direction, 0.0)
     src = jnp.where(slot_mask, src, 0).astype(jnp.int32)
     return NeighborList(

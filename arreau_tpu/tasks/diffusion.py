@@ -100,7 +100,8 @@ class DiffusionConfig:
     atom_type_loss_weight: float = 1.0
     lattice_loss_weight: float = 1.0
     fourier_seed: int = 1234
-    remat: bool = True
+    remat: bool = False
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" for TPU speed
 
     @property
     def in_scalar_dim(self) -> int:
@@ -131,6 +132,7 @@ class DiffusionConfig:
             num_edge_scalar_features=4,
             expected_degree=float(self.max_neighbors),
             remat=self.remat,
+            compute_dtype=self.compute_dtype,
         )
 
 
