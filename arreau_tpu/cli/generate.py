@@ -64,6 +64,10 @@ def load_model(checkpoint_dir: str, tag: str, use_ema: bool):
 def main(argv=None):
     args = parse_args(argv)
 
+    from arreau_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     from arreau_tpu.inference.io import concat_results, from_dense_batch, save_sample_results

@@ -60,6 +60,12 @@ def parse_args(argv=None):
                    help="'jax' writes a profiler trace for the first timed epoch")
     p.add_argument("--ema", type=float, default=None, help="EMA decay (e.g. 0.99); default off like the reference diffusion run")
     p.add_argument("--synthetic_size", type=int, default=2000)
+    p.add_argument("--resume", type=eval, default=True,
+                   help="resume from <checkpoint_dir>/last if present (preemption-safe)")
+    p.add_argument("--debug_nans", type=eval, default=False,
+                   help="enable jax NaN checking (slow; numerics sanitizer mode)")
+    p.add_argument("--compute_dtype", type=str, default=None, choices=[None, "bfloat16"],
+                   help="model compute dtype; bfloat16 recommended on TPU")
     return p.parse_args(argv)
 
 
@@ -100,6 +106,10 @@ def build_datasets(args):
 def main(argv=None):
     args = parse_args(argv)
 
+    from arreau_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -111,6 +121,9 @@ def main(argv=None):
     from arreau_tpu.train.metrics import EpochTimer, MeanMetrics
     from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
     from arreau_tpu.train.state import create_train_state
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     dataset, splits, z_table, fixed_t = build_datasets(args)
     if args.dataset == "eval-equivariance":
@@ -129,6 +142,7 @@ def main(argv=None):
         widening_factor=args.widening_factor,
         layer_scale=args.layer_scale if args.layer_scale != 0.0 else None,
         multiple_readouts=args.multiple_readouts,
+        compute_dtype=args.compute_dtype,
     )
     model = DiffusionModel(cfg)
 
@@ -168,6 +182,9 @@ def main(argv=None):
     eval_step = make_eval_step(loss_fn, mesh=mesh, use_ema=args.ema is not None)
 
     ckpt = CheckpointManager(args.checkpoint_dir, diffusion_meta(cfg, z_table))
+    if args.resume and ckpt.has("last"):
+        state = ckpt.restore(state, "last")
+        print(f"resumed from {ckpt.path('last')} at step {int(state.step)}")
 
     # optional wandb (gated: not installed in this image)
     wandb_run = None

@@ -46,6 +46,10 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from arreau_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

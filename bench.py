@@ -23,6 +23,10 @@ MEASURE_STEPS = 20
 
 
 def main():
+    from arreau_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,7 +38,7 @@ def main():
     from arreau_tpu.train.state import create_train_state
 
     z_table = synthetic_z_table()
-    cfg = DiffusionConfig(num_atomic_states=len(z_table))
+    cfg = DiffusionConfig(num_atomic_states=len(z_table), compute_dtype="bfloat16")
     model = DiffusionModel(cfg)
 
     rng = np.random.default_rng(0)
