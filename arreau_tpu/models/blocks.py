@@ -99,31 +99,47 @@ class FiberBundleConv(nn.Module):
     channels: int
     expected_degree: float = 8.0
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False  # fused TPU kernel (no per-edge HBM tensors)
+    return_messages: bool = True
 
     @nn.compact
     def __call__(
         self,
         x: jax.Array,  # [B, A, O, C]
-        kernel_basis: jax.Array,  # [B, A, K, O, basis_dim]
+        kernel_basis: jax.Array,  # [B, A, K, O, D]; O-major [B, O, A*K, D] when use_pallas
         fiber_kernel_basis: jax.Array,  # [O, O, basis_dim]
         src: jax.Array,  # [B, A, K]
-        edge_mask: jax.Array,  # [B, A, K]
-    ) -> tuple[jax.Array, jax.Array]:
+        edge_mask: jax.Array,  # [B, A, K]; gather matrix [B, A*K, A] when use_pallas
+    ) -> tuple[jax.Array, Optional[jax.Array]]:
         scale = 1.0 / jnp.sqrt(self.expected_degree)
-        kernel = nn.Dense(
-            self.channels,
-            use_bias=False,
-            name="spatial_kernel",
-            dtype=self.dtype,
-            kernel_init=nn.initializers.variance_scaling(scale, "fan_in", "truncated_normal"),
-        )(kernel_basis)  # [B, A, K, O, C]
+        basis_dim = kernel_basis.shape[-1]
+        w_spatial = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(scale, "fan_in", "truncated_normal"),
+            (basis_dim, self.channels),
+            jnp.float32,
+        )
+        w = w_spatial.astype(self.dtype) if self.dtype else w_spatial
 
-        # Gather sender features along the atom axis of each crystal.
-        B, A, K = src.shape
-        idx = src.reshape(B, A * K)[:, :, None, None]  # [B, A*K, 1, 1]
-        x_j = jnp.take_along_axis(x, idx, axis=1).reshape(B, A, K, *x.shape[2:])
-        messages = kernel * x_j.astype(kernel.dtype)
-        x_spatial = jnp.where(edge_mask[..., None, None], messages, 0.0).sum(axis=2)
+        if self.use_pallas and not self.return_messages:
+            from arreau_tpu.ops.pallas_conv import fused_spatial_conv
+
+            # kernel_basis is orientation-major [B, O, A*K, D] and edge_mask
+            # carries the precomputed masked one-hot gather matrix.
+            x_spatial = fused_spatial_conv(
+                kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask
+            )
+            messages = None
+        else:
+            kernel = jnp.einsum(
+                "bakod,dc->bakoc", kernel_basis.astype(w.dtype), w
+            )  # [B, A, K, O, C]
+            # Gather sender features along the atom axis of each crystal.
+            B, A, K = src.shape
+            idx = src.reshape(B, A * K)[:, :, None, None]  # [B, A*K, 1, 1]
+            x_j = jnp.take_along_axis(x, idx, axis=1).reshape(B, A, K, *x.shape[2:])
+            messages = kernel * x_j.astype(kernel.dtype)
+            x_spatial = jnp.where(edge_mask[..., None, None], messages, 0.0).sum(axis=2)
 
         fiber_kernel = nn.Dense(
             self.channels, use_bias=False, name="fiber_kernel", dtype=self.dtype
@@ -153,12 +169,15 @@ class ConvNextBlock(nn.Module):
     act: Callable = nn.gelu
     expected_degree: float = 8.0
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+    return_messages: bool = True
 
     @nn.compact
     def __call__(self, x, kernel_basis, fiber_kernel_basis, src, edge_mask):
         residual = x
         x, messages = FiberBundleConv(
             self.channels, expected_degree=self.expected_degree, dtype=self.dtype,
+            use_pallas=self.use_pallas, return_messages=self.return_messages,
             name="conv",
         )(x, kernel_basis, fiber_kernel_basis, src, edge_mask)
         # LayerNorm stays in f32 for numerically stable statistics

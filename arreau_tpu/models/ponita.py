@@ -69,6 +69,9 @@ class PonitaConfig:
     # compute dtype for the Dense layers ("bfloat16" halves HBM traffic and
     # doubles MXU rate on TPU; params and LayerNorm stay float32). None = f32.
     compute_dtype: Optional[str] = None
+    # fused Pallas spatial conv: None = auto (on when running on TPU and no
+    # edge readouts are configured), True/False = force.
+    use_pallas: Optional[bool] = None
 
 
 class FiberBundleInputs(NamedTuple):
@@ -183,6 +186,26 @@ class PonitaFiberBundle(nn.Module):
             cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="fiber_basis_fn"
         )(fiber_attr)
 
+        need_messages = cfg.output_dim_edge_scalar > 0
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and not need_messages
+        if need_messages:
+            use_pallas = False  # per-edge messages require the XLA path
+        conv_src, conv_mask = nb.src, nb.mask
+        if use_pallas:
+            from arreau_tpu.ops.pallas_conv import make_gather_matrix
+
+            # hoist the layout work out of the layer loop: orientation-major
+            # basis + masked one-hot gather matrix, computed once
+            B_, A_, K_, O_, D_ = kernel_basis.shape
+            kernel_basis = kernel_basis.transpose(0, 3, 1, 2, 4).reshape(
+                B_, O_, A_ * K_, D_
+            )
+            conv_mask = make_gather_matrix(
+                nb.src, nb.mask, dtype=cdtype or kernel_basis.dtype
+            )
+
         # ---- Embed + interaction/readout stack --------------------------
         x = nn.Dense(cfg.hidden_dim, use_bias=False, name="x_embedder", dtype=cdtype)(x)
         x = x.astype(jnp.float32)
@@ -206,8 +229,10 @@ class PonitaFiberBundle(nn.Module):
                 layer_scale_init=cfg.layer_scale,
                 expected_degree=cfg.expected_degree,
                 dtype=cdtype,
+                use_pallas=use_pallas,
+                return_messages=need_messages,
                 name=f"layer_{i}",
-            )(x, kernel_basis, fiber_kernel_basis, nb.src, nb.mask)
+            )(x, kernel_basis, fiber_kernel_basis, conv_src, conv_mask)
             if cfg.multiple_readouts or i == cfg.num_layers - 1:
                 readouts.append(nn.Dense(out_total, name=f"readout_{i}")(x))
                 if cfg.output_dim_edge_scalar > 0:
