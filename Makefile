@@ -28,3 +28,21 @@ test:
 
 bench:
 	python bench.py
+
+train-nbody:
+	python -m arreau_tpu.cli.train_nbody --epochs=100 --batch_size=100
+
+train-qm9:
+	python -m arreau_tpu.cli.train_qm9 --epochs=100
+
+train-md17:
+	python -m arreau_tpu.cli.train_md17 --epochs=100
+
+train-mnist:
+	python -m arreau_tpu.cli.train_mnist --epochs=50
+
+relax:
+	python -m arreau_tpu.cli.process_results --in_path=out/crystals.h5 --visualize=True
+
+stats:
+	python -m arreau_tpu.exploration.dataset_stats

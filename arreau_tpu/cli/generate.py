@@ -27,6 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--out_dir", type=str, default="out")
     p.add_argument("--visualize", type=eval, default=False)
     p.add_argument("--show_bonds", type=eval, default=False)
+    p.add_argument("--gif", type=eval, default=False,
+                   help="render the sampling trajectory of the last batch as a GIF")
+    p.add_argument("--snapshot_every", type=int, default=10)
     p.add_argument(
         "--constant_atomic_symbols",
         type=str,
@@ -96,16 +99,43 @@ def main(argv=None):
         )
     )
     results = []
+    snapshots = None
     remaining = args.num_crystals
-    batch_out = None
     while remaining > 0:
         key, sub = jax.random.split(key)
-        batch_out = sample_jit(params, sub)
+        if args.gif and remaining <= args.batch_size:
+            # last batch: segmented sampling with snapshots for the GIF
+            batch_out, snapshots = model.sample(
+                params,
+                sub,
+                num_samples=args.batch_size,
+                num_atoms_per_sample=args.num_atoms_per_sample,
+                constant_atoms=constant_atoms,
+                snapshot_every=args.snapshot_every,
+            )
+        else:
+            batch_out = sample_jit(params, sub)
         take = min(args.batch_size, remaining)
         trimmed = jax.tree.map(lambda x: x[:take], batch_out)
         results.append(from_dense_batch(trimmed, z_table))
         remaining -= take
         print(f"generated {args.num_crystals - remaining}/{args.num_crystals}")
+
+    if snapshots:
+        from arreau_tpu.inference.visualize import generate_gif, vis_crystal_during_sampling
+
+        snap_dir = os.path.join(args.out_dir, "sampling_steps")
+        for timestep, snap in snapshots:
+            vis_crystal_during_sampling(
+                z_table,
+                np.asarray(snap.atom_types[0]),
+                np.asarray(snap.lattice[0]),
+                np.asarray(snap.frac_x[0]),
+                os.path.join(snap_dir, f"step_{timestep}"),
+                args.show_bonds,
+            )
+        generate_gif(snap_dir, os.path.join(args.out_dir, "sampling.gif"), prefix="step")
+        print(f"wrote {args.out_dir}/sampling.gif")
 
     result = concat_results(results)
     out_path = os.path.join(args.out_dir, "crystals.h5")

@@ -327,12 +327,15 @@ class DiffusionModel:
         num_atoms_per_sample: int,
         constant_atoms: Optional[jax.Array] = None,
         lattice_type: str = "monoclinic",
+        snapshot_every: Optional[int] = None,
     ) -> CrystalBatch:
         """Full reverse diffusion as one jit-compiled ``lax.fori_loop``
         (reference ``DiffusionLoss.sample``, diffusion_loss.py:276-377).
 
         Returns a :class:`CrystalBatch` of generated crystals (atom types are
-        z-table indices; decode with the z-table on the host).
+        z-table indices; decode with the z-table on the host). With
+        ``snapshot_every`` set, returns ``(batch, [(timestep, batch), ...])``
+        with intermediate states for visualization.
         """
         cfg = self.config
         B, A = num_samples, num_atoms_per_sample
@@ -368,14 +371,36 @@ class DiffusionModel:
                 types = constant_atoms
             return frac, types, lengths, key
 
-        frac, types, lengths, _ = jax.lax.fori_loop(
-            0, cfg.num_timesteps - 1, step, (frac0, types0, lengths0, k_loop)
+        def batch_of(carry):
+            frac, types, lengths, _ = carry
+            return CrystalBatch(
+                frac_x=frac,
+                atom_types=types,
+                lattice=lattice_from_params(lengths, angles),
+                num_atoms=num_atoms,
+                atom_mask=atom_mask,
+            )
+
+        carry0 = (frac0, types0, lengths0, k_loop)
+        total = cfg.num_timesteps - 1
+
+        if snapshot_every is None:
+            carry = jax.lax.fori_loop(0, total, step, carry0)
+            return batch_of(carry)
+
+        # segmented sampling: same math, paused every `snapshot_every` steps
+        # so the host can record/render intermediate states (the reference's
+        # per-timestep visualization, diffusion_loss.py:351-365)
+        segment = jax.jit(
+            lambda start, carry: jax.lax.fori_loop(
+                start, jnp.minimum(start + snapshot_every, total), step, carry
+            )
         )
-        lattice = lattice_from_params(lengths, angles)
-        return CrystalBatch(
-            frac_x=frac,
-            atom_types=types,
-            lattice=lattice,
-            num_atoms=num_atoms,
-            atom_mask=atom_mask,
-        )
+        snapshots = []
+        carry = carry0
+        done = 0
+        while done < total:
+            carry = segment(done, carry)
+            done = min(done + snapshot_every, total)
+            snapshots.append((cfg.num_timesteps - 1 - done, batch_of(carry)))
+        return batch_of(carry), snapshots
