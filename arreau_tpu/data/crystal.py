@@ -193,7 +193,14 @@ class BucketedLoader:
         dtype=np.float32,
         batch_multiple: int = 1,
         drop_remainder: bool = False,
+        host_index: int = 0,
+        num_hosts: int = 1,
     ):
+        # multi-host data sharding: each host keeps a disjoint stride of the
+        # index set (the per-host half of the DP input pipeline; the device
+        # mesh handles the rest)
+        if num_hosts > 1:
+            indices = np.asarray(indices)[host_index::num_hosts]
         self.dataset = dataset
         self.node_budget = node_budget
         self.buckets = tuple(buckets)

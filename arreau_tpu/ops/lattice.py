@@ -156,6 +156,33 @@ def wrapped_angle_mse(pred_angles: jax.Array, target_angles: jax.Array) -> jax.A
     return jnp.mean(wrapped**2)
 
 
+def cubic_score(edge_lengths: jax.Array) -> jax.Array:
+    """1 - (sum |l_i - mean| / mean): how cube-like a cell's edge lengths are
+    (reference diffusion_helpers.py:711-736)."""
+    avg = jnp.mean(edge_lengths, axis=-1, keepdims=True)
+    normalized_diff = jnp.sum(jnp.abs(edge_lengths - avg), axis=-1) / avg[..., 0]
+    return 1.0 - normalized_diff
+
+
+def vector_length_mse_loss(pred_matrices: jax.Array, target_matrices: jax.Array) -> jax.Array:
+    """MSE on basis-vector lengths + wrapped angle MSE between two lattice
+    batches (reference diffusion_helpers.py:676-704)."""
+    pred_lengths, pred_angles = matrix_to_params(pred_matrices)
+    target_lengths, target_angles = matrix_to_params(target_matrices)
+    length_loss = jnp.mean((pred_lengths - target_lengths) ** 2)
+    return length_loss + wrapped_angle_mse(pred_angles, target_angles)
+
+
+def angle_bound_loss(
+    angles_deg: jax.Array, lower: float = 60.0, upper: float = 120.0, weight: float = 0.1
+) -> jax.Array:
+    """Quadratic penalty outside [lower, upper] degrees (the reference's
+    quadratic angle loss bounds, diffusion_helpers.py:650-673)."""
+    over = jnp.maximum(angles_deg - upper, 0.0)
+    under = jnp.minimum(angles_deg - lower, 0.0)
+    return jnp.mean((weight * over) ** 2 + (weight * under) ** 2)
+
+
 _BRAVAIS_FIXED = {
     "cubic": (90.0, 90.0, 90.0),
     "tetragonal": (90.0, 90.0, 90.0),

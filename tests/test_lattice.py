@@ -125,3 +125,18 @@ def test_bravais_angles(family):
     if family == "rhombohedral":
         np.testing.assert_allclose(a[:, 0], a[:, 1])
         np.testing.assert_allclose(a[:, 0], a[:, 2])
+
+
+def test_cubic_score_and_losses():
+    cubic = lat.cubic_score(jnp.array([[4.0, 4.0, 4.0]]))
+    np.testing.assert_allclose(float(cubic[0]), 1.0)
+    skewed = lat.cubic_score(jnp.array([[2.0, 4.0, 6.0]]))
+    assert float(skewed[0]) < 1.0
+
+    mats = jnp.asarray(_random_lattices(4, seed=8))
+    assert float(lat.vector_length_mse_loss(mats, mats)) < 1e-12
+
+    inside = lat.angle_bound_loss(jnp.array([[90.0, 100.0, 80.0]]))
+    np.testing.assert_allclose(float(inside), 0.0)
+    outside = lat.angle_bound_loss(jnp.array([[150.0, 90.0, 40.0]]))
+    assert float(outside) > 0
