@@ -66,6 +66,8 @@ def parse_args(argv=None):
                    help="enable jax NaN checking (slow; numerics sanitizer mode)")
     p.add_argument("--compute_dtype", type=str, default=None, choices=[None, "bfloat16"],
                    help="model compute dtype; bfloat16 recommended on TPU")
+    p.add_argument("--buckets", type=str, default=None,
+                   help="comma-separated max-atom bucket ladder (fewer buckets = fewer compiled program variants)")
     return p.parse_args(argv)
 
 
@@ -149,11 +151,17 @@ def main(argv=None):
     mesh = make_mesh()
     n_dev = len(jax.devices())
     node_budget = args.batch_size * 16
+    from arreau_tpu.data.crystal import DEFAULT_BUCKETS
+
+    buckets = (
+        tuple(int(b) for b in args.buckets.split(",")) if args.buckets else DEFAULT_BUCKETS
+    )
     loaders = {
         split: BucketedLoader(
             dataset,
             idx,
             node_budget=node_budget,
+            buckets=buckets,
             seed=args.seed + i,
             batch_multiple=n_dev,
         )

@@ -124,11 +124,17 @@ class FiberBundleConv(nn.Module):
         if self.use_pallas and not self.return_messages:
             from arreau_tpu.ops.pallas_conv import fused_spatial_conv
 
-            # kernel_basis is orientation-major [B, O, A*K, D] and edge_mask
-            # carries the precomputed masked one-hot gather matrix.
-            x_spatial = fused_spatial_conv(
-                kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask
+            # kernel_basis is orientation-major [B/T, O, T*A*K, D] and
+            # edge_mask carries the [B/T, T*A*K, T*A] gather matrix; fold the
+            # same T crystals per tile into the node tensor (free reshape).
+            B, A = x.shape[0], x.shape[1]
+            BT = kernel_basis.shape[0]
+            tile = B // BT
+            x_tiled = x.reshape(BT, tile * A, *x.shape[2:])
+            y = fused_spatial_conv(
+                kernel_basis.astype(w.dtype), w, x_tiled.astype(w.dtype), edge_mask
             )
+            x_spatial = y.reshape(B, A, *y.shape[2:])
             messages = None
         else:
             kernel = jnp.einsum(

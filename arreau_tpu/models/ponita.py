@@ -197,13 +197,22 @@ class PonitaFiberBundle(nn.Module):
             from arreau_tpu.ops.pallas_conv import make_gather_matrix
 
             # hoist the layout work out of the layer loop: orientation-major
-            # basis + masked one-hot gather matrix, computed once
+            # basis + masked one-hot gather matrix, computed once. Several
+            # crystals are folded per kernel program (block-diagonal gather)
+            # so the MXU sees larger matmul M dims.
             B_, A_, K_, O_, D_ = kernel_basis.shape
-            kernel_basis = kernel_basis.transpose(0, 3, 1, 2, 4).reshape(
-                B_, O_, A_ * K_, D_
+            # Tiling multiple crystals per program (block-diagonal gather)
+            # improves isolated kernel time slightly but the costlier basis
+            # transpose cancels it in the full step — keep per-crystal tiles.
+            tile = 1
+            kernel_basis = (
+                kernel_basis.reshape(B_ // tile, tile, A_, K_, O_, D_)
+                .transpose(0, 4, 1, 2, 3, 5)
+                .reshape(B_ // tile, O_, tile * A_ * K_, D_)
             )
             conv_mask = make_gather_matrix(
-                nb.src, nb.mask, dtype=cdtype or kernel_basis.dtype
+                nb.src, nb.mask, dtype=cdtype or kernel_basis.dtype,
+                crystals_per_tile=tile,
             )
 
         # ---- Embed + interaction/readout stack --------------------------

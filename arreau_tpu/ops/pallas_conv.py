@@ -41,9 +41,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def make_gather_matrix(src: jax.Array, mask: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """One-hot gather matrix ``[B, A*K, A]`` with the edge mask folded in."""
+def make_gather_matrix(
+    src: jax.Array, mask: jax.Array, dtype=jnp.bfloat16, crystals_per_tile: int = 1
+) -> jax.Array:
+    """One-hot gather matrix with the edge mask folded in.
+
+    With ``crystals_per_tile = T``, T crystals are folded into one grid
+    program (block-diagonal gather over T*A atoms): larger matmul M dims use
+    the MXU far better than per-crystal [A*K, ...] operands. Returns
+    ``[B/T, T*A*K, T*A]``.
+    """
     B, A, K = src.shape
+    T = crystals_per_tile
+    if T > 1:
+        assert B % T == 0, (B, T)
+        offset = (jnp.arange(T, dtype=src.dtype) * A)[None, :, None, None]
+        src = src.reshape(B // T, T, A, K) + offset
+        src = src.reshape(B // T, T * A, K)
+        mask = mask.reshape(B // T, T * A, K)
+        A = T * A
+        B = B // T
     sel = jax.nn.one_hot(src, A, dtype=dtype) * mask[..., None].astype(dtype)
     return sel.reshape(B, A * K, A)
 

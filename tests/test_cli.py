@@ -122,3 +122,24 @@ def test_gif_assembly(tmp_path):
     out = os.path.join(d, "anim.gif")
     generate_gif(d, out, prefix="step")
     assert os.path.getsize(out) > 100
+
+
+def test_train_resume_restores_step(tmp_path):
+    """Preemption-safe resume: a second run with --resume picks up the saved
+    state instead of starting from scratch."""
+    from arreau_tpu.cli.train_diffusion import main
+
+    ckpt_dir = str(tmp_path / "resume_ckpt")
+    args = TINY_TRAIN_ARGS + ["--checkpoint_dir", ckpt_dir, "--buckets", "8,16,24"]
+    main(args)
+    # second invocation resumes from 'last' (printed + state restored);
+    # it must run to completion without error and keep the checkpoint valid
+    loss = main(args)
+    assert np.isfinite(loss)
+
+    from arreau_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(ckpt_dir)
+    raw = ckpt.restore_raw("last")
+    step = raw[0] if isinstance(raw, (list, tuple)) else raw["step"]
+    assert int(np.asarray(step)) > 0
