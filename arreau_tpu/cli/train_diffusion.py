@@ -15,8 +15,6 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-import sys
-import time
 
 import numpy as np
 

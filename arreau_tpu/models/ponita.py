@@ -23,7 +23,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import flax.linen as nn
@@ -33,7 +33,6 @@ import jax.numpy as jnp
 from arreau_tpu.models.blocks import (
     BasisMLP,
     ConvNextBlock,
-    polynomial_features,
     scalar_to_sphere,
     sphere_to_scalar,
     sphere_to_vec,

@@ -13,8 +13,7 @@ single ``lax.fori_loop`` over all T reverse steps.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import cached_property
+from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax

@@ -11,11 +11,9 @@ reduction into ``all-reduce`` over ICI.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from arreau_tpu.parallel.mesh import batch_sharding, replicated_sharding

@@ -201,3 +201,22 @@ def test_ponita_approx_equivariance_fixed_grid(num_ori):
     # relative deviation should be small (grid discretization error only)
     rel = np.abs(a - b) / (np.abs(a).mean() + 1e-8)
     assert rel.max() < 0.05, rel.max()
+
+
+def test_make_ponita_factory_dispatch():
+    from arreau_tpu.models import make_ponita, PonitaFiberBundle, PonitaPointCloud
+
+    fb = make_ponita(num_ori=8, hidden_dim=16, basis_dim=8, num_layers=2,
+                     output_dim_scalar=1)
+    assert isinstance(fb, PonitaFiberBundle)
+    assert fb.config.num_ori == 8
+
+    pc = make_ponita(num_ori=-1, hidden_dim=16, basis_dim=8, num_layers=2,
+                     output_dim_scalar=1)
+    assert isinstance(pc, PonitaPointCloud)
+    assert pc.config.lifted
+
+    plain = make_ponita(num_ori=0, hidden_dim=16, basis_dim=8, num_layers=2,
+                        output_dim_scalar=1)
+    assert isinstance(plain, PonitaPointCloud)
+    assert not plain.config.lifted
