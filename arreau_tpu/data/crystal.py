@@ -235,7 +235,9 @@ class BucketedLoader:
                     if self.drop_remainder:
                         continue
                     # pad the final chunk by repeating examples so the shape
-                    # (and compiled program) stays identical
+                    # (and compiled program) stays identical. NOTE: repeated
+                    # examples bias epoch metrics by up to one bucket-batch of
+                    # duplicates; use drop_remainder for strict eval counts.
                     reps = np.resize(chunk, bs)
                     chunk = reps
                 chunks.append((bucket, chunk))
