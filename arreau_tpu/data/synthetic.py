@@ -39,6 +39,13 @@ def random_lattices(rng: np.random.Generator, n: int) -> np.ndarray:
     return np.stack([va, vb, vc], axis=1)
 
 
+def _geometry_types(frac: np.ndarray, num_real: int) -> np.ndarray:
+    """Atom types correlated with geometry (the fractional z coordinate) so
+    the D3PM type channel has learnable signal instead of an irreducible
+    uniform-entropy floor."""
+    return np.minimum((frac[..., 2] * num_real).astype(np.int64), num_real - 1)
+
+
 def make_synthetic_batch(
     rng: np.random.Generator,
     z_table: AtomicNumberTable,
@@ -55,7 +62,7 @@ def make_synthetic_batch(
     num_atoms = rng.integers(min_atoms, A + 1, size=(B,))
     atom_mask = np.arange(A)[None, :] < num_atoms[:, None]
     num_real = len(z_table) - 1  # exclude MASK (last index)
-    types = rng.integers(0, num_real, size=(B, A))
+    types = _geometry_types(frac, num_real)
     types = np.where(atom_mask, types, 0)
 
     return CrystalBatch(
@@ -78,10 +85,11 @@ def synthetic_packed(n: int, seed: int = 0, max_atoms: int = 24, min_atoms: int 
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     total = int(offsets[-1])
     num_real = len(z_table) - 1
-    type_indices = rng.integers(0, num_real, size=total)
+    frac = rng.uniform(size=(total, 3))
+    type_indices = _geometry_types(frac, num_real)
     packed = PackedCrystals(
         atomic_numbers=np.asarray(z_table.indices_to_zs(type_indices)),
-        frac_coords=rng.uniform(size=(total, 3)),
+        frac_coords=frac,
         offsets=offsets,
         lattices=random_lattices(rng, n),
     )

@@ -131,11 +131,12 @@ def test_data_parallel_step_8_devices():
     state2, metrics = step(state, jax.random.PRNGKey(1), sharded)
     assert np.isfinite(float(metrics["loss"]))
 
-    # Parity: sharded step result must equal the single-device step result.
+    # Parity: sharded step must match the single-device step up to
+    # cross-device reduction-order noise.
     step_local = make_train_step(model.loss, tx, donate=False)
     state3, metrics_local = step_local(state, jax.random.PRNGKey(1), batch)
     np.testing.assert_allclose(
-        float(metrics["loss"]), float(metrics_local["loss"]), rtol=1e-9
+        float(metrics["loss"]), float(metrics_local["loss"]), rtol=1e-6
     )
     for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(state3.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
