@@ -176,43 +176,40 @@ class PonitaFiberBundle(nn.Module):
             edge_scalars_sphere = None
             attr = spatial_attr
 
-        window = polynomial_cutoff(dists, cfg.radius)[..., None, None]
-        kernel_basis = (
-            BasisMLP(cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="basis_fn")(attr)
-            * window.astype(cdtype or window.dtype)
-        )
-        fiber_kernel_basis = BasisMLP(
-            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="fiber_basis_fn"
-        )(fiber_attr)
-
         need_messages = cfg.output_dim_edge_scalar > 0
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu" and not need_messages
         if need_messages:
             use_pallas = False  # per-edge messages require the XLA path
+
         conv_src, conv_mask = nb.src, nb.mask
         if use_pallas:
             from arreau_tpu.ops.pallas_conv import make_gather_matrix
 
-            # hoist the layout work out of the layer loop: orientation-major
-            # basis + masked one-hot gather matrix, computed once. Several
-            # crystals are folded per kernel program (block-diagonal gather)
-            # so the MXU sees larger matmul M dims.
-            B_, A_, K_, O_, D_ = kernel_basis.shape
-            # Tiling multiple crystals per program (block-diagonal gather)
-            # improves isolated kernel time slightly but the costlier basis
-            # transpose cancels it in the full step — keep per-crystal tiles.
-            tile = 1
-            kernel_basis = (
-                kernel_basis.reshape(B_ // tile, tile, A_, K_, O_, D_)
-                .transpose(0, 4, 1, 2, 3, 5)
-                .reshape(B_ // tile, O_, tile * A_ * K_, D_)
+            # For the fused kernel the basis must be orientation-major
+            # [B, O, A*K, D]. Transposing the SMALL attr tensor before the
+            # basis MLP (pointwise over rows, layout-agnostic) gets that
+            # layout for free — no transpose of the 100x larger basis tensor
+            # in either direction of autodiff.
+            B_, A_, K_, O_, _ = attr.shape
+            attr = attr.transpose(0, 3, 1, 2, 4)  # [B, O, A, K, 6]
+            window = polynomial_cutoff(dists, cfg.radius)[:, None, :, :, None]
+            conv_mask = make_gather_matrix(nb.src, nb.mask, dtype=cdtype or attr.dtype)
+        else:
+            window = polynomial_cutoff(dists, cfg.radius)[..., None, None]
+
+        kernel_basis = (
+            BasisMLP(cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="basis_fn")(attr)
+            * window.astype(cdtype or window.dtype)
+        )
+        if use_pallas:
+            kernel_basis = kernel_basis.reshape(
+                B_, O_, A_ * K_, kernel_basis.shape[-1]
             )
-            conv_mask = make_gather_matrix(
-                nb.src, nb.mask, dtype=cdtype or kernel_basis.dtype,
-                crystals_per_tile=tile,
-            )
+        fiber_kernel_basis = BasisMLP(
+            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="fiber_basis_fn"
+        )(fiber_attr)
 
         # ---- Embed + interaction/readout stack --------------------------
         x = nn.Dense(cfg.hidden_dim, use_bias=False, name="x_embedder", dtype=cdtype)(x)

@@ -159,3 +159,15 @@ def test_bucketed_loader(tmp_path):
         seen += B
     assert seen >= 50  # final chunks are padded by repetition
     assert loader.num_batches() > 0
+
+
+def test_synthetic_types_correlate_with_geometry():
+    """The D3PM channel needs learnable signal: synthetic atom types must be a
+    deterministic function of the fractional z coordinate."""
+    from arreau_tpu.data.synthetic import synthetic_packed, synthetic_z_table
+
+    ds = synthetic_packed(50, seed=0)
+    num_real = len(ds.z_table) - 1
+    frac_z = ds.packed.frac_coords[:, 2]
+    expect = np.minimum((frac_z * num_real).astype(np.int64), num_real - 1)
+    np.testing.assert_array_equal(ds.type_indices, expect)
