@@ -118,7 +118,7 @@ def main(argv=None):
     from arreau_tpu.tasks.diffusion import DiffusionConfig, DiffusionModel, rotate_batch
     from arreau_tpu.train.checkpoint import CheckpointManager, diffusion_meta
     from arreau_tpu.train.loop import make_eval_step, make_train_step
-    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics
+    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics, exact_loss, weighted_update
     from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
     from arreau_tpu.train.state import create_train_state
 
@@ -205,8 +205,9 @@ def main(argv=None):
             print("wandb not available; logging to stdout only")
 
     timer = EpochTimer()
-    best_valid = float("inf")
-    global_step = 0
+    # persisted across preemption resumes via the checkpoint scoreboard
+    best_valid = ckpt.best_score() if args.resume else float("inf")
+    global_step = int(state.step)
     profiled = False
     for epoch in range(args.epochs):
         timer.epoch_start()
@@ -220,7 +221,7 @@ def main(argv=None):
             if args.train_augm:
                 batch = rotate_batch(k_rot, batch)
             state, metrics = train_step(state, k_step, batch)
-            train_metrics.update(metrics)
+            weighted_update(train_metrics, metrics)
             global_step += 1
             if args.max_steps is not None and global_step >= args.max_steps:
                 break
@@ -228,8 +229,11 @@ def main(argv=None):
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
         dt = timer.epoch_end()
-        tm = train_metrics.compute()
-        lr_now = float(schedule(global_step))
+        tm = exact_loss(train_metrics.compute())
+        # derive LR from the optimizer's own step count (survives resume,
+        # where the in-process counter and the restored state agree via
+        # global_step = state.step above)
+        lr_now = float(schedule(int(state.step)))
         print(f"epoch {epoch} | train loss {tm.get('loss', float('nan')):.4f} "
               f"(coord {tm.get('loss_coord', 0):.4f} type {tm.get('loss_type', 0):.4f} "
               f"lattice {tm.get('loss_lattice', 0):.4f}) | lr {lr_now:.2e} | {dt:.1f}s")
@@ -241,15 +245,15 @@ def main(argv=None):
             for batch in loaders["valid"]:
                 batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
                 key, k_eval = jax.random.split(key)
-                vm.update(eval_step(state, k_eval, batch))
-            v = vm.compute()
+                weighted_update(vm, eval_step(state, k_eval, batch))
+            v = exact_loss(vm.compute())
             print(f"epoch {epoch} | valid loss {v.get('loss', float('nan')):.4f}")
             if wandb_run:
                 wandb_run.log({f"valid/{k}": val for k, val in v.items()})
             ckpt.save(state, "last")
             if v.get("loss", float("inf")) < best_valid:
                 best_valid = v["loss"]
-                ckpt.save(state, "best")
+            ckpt.save_ranked(state, v.get("loss", float("inf")), step=int(state.step))
         if args.max_steps is not None and global_step >= args.max_steps:
             ckpt.save(state, "last")
             break
@@ -263,8 +267,8 @@ def main(argv=None):
     for batch in loaders["test"]:
         batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
         key, k_eval = jax.random.split(key)
-        tmets.update(eval_step(state, k_eval, batch))
-    t = tmets.compute()
+        weighted_update(tmets, eval_step(state, k_eval, batch))
+    t = exact_loss(tmets.compute())
     print(f"test loss {t.get('loss', float('nan')):.4f}")
     if wandb_run:
         wandb_run.log({f"test/{k}": v for k, v in t.items()})

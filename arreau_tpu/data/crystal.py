@@ -234,12 +234,13 @@ class BucketedLoader:
                 if len(chunk) < bs:
                     if self.drop_remainder:
                         continue
-                    # pad the final chunk by repeating examples so the shape
-                    # (and compiled program) stays identical. NOTE: repeated
-                    # examples bias epoch metrics by up to one bucket-batch of
-                    # duplicates; use drop_remainder for strict eval counts.
-                    reps = np.resize(chunk, bs)
-                    chunk = reps
+                    # pad the final chunk with the -1 sentinel so the shape
+                    # (and compiled program) stays identical; the collator
+                    # emits empty masked examples for sentinels, and the loss
+                    # / metrics exclude them — epoch means stay exact.
+                    chunk = np.concatenate(
+                        [chunk, np.full(bs - len(chunk), -1, np.int64)]
+                    )
                 chunks.append((bucket, chunk))
         order = self._rng.permutation(len(chunks))
         for i in order:

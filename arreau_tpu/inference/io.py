@@ -66,26 +66,31 @@ def concat_results(results: list[SampleResult]) -> SampleResult:
 
 
 def save_sample_results(path: str, result: SampleResult) -> None:
+    """Write the reference layout: datasets nested under a ``crystals`` group
+    (process_generated_crystals.py:8-15), so reference tools read these files."""
     import h5py
     import os
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with h5py.File(path, "w") as f:
-        f.create_dataset("frac_x", data=result.frac_x)
-        f.create_dataset("atomic_numbers", data=result.atomic_numbers)
-        f.create_dataset("lattice", data=result.lattice)
-        f.create_dataset("idx_start", data=result.idx_start)
-        f.create_dataset("num_atoms", data=result.num_atoms)
+        g = f.create_group("crystals")
+        g.create_dataset("frac_x", data=result.frac_x)
+        g.create_dataset("atomic_numbers", data=result.atomic_numbers)
+        g.create_dataset("lattice", data=result.lattice)
+        g.create_dataset("idx_start", data=result.idx_start)
+        g.create_dataset("num_atoms", data=result.num_atoms)
 
 
 def load_sample_results(path: str) -> SampleResult:
+    """Read either the reference's grouped layout or flat root datasets."""
     import h5py
 
     with h5py.File(path, "r") as f:
+        g = f["crystals"] if "crystals" in f else f
         return SampleResult(
-            frac_x=f["frac_x"][:],
-            atomic_numbers=f["atomic_numbers"][:],
-            lattice=f["lattice"][:],
-            idx_start=f["idx_start"][:],
-            num_atoms=f["num_atoms"][:],
+            frac_x=g["frac_x"][:],
+            atomic_numbers=g["atomic_numbers"][:],
+            lattice=g["lattice"][:],
+            idx_start=g["idx_start"][:],
+            num_atoms=g["num_atoms"][:],
         )

@@ -75,6 +75,9 @@ def _collate_numpy(type_indices, frac_coords, offsets, lattices, idx, max_atoms,
     num_atoms = np.zeros((B,), np.int32)
     mask = np.zeros((B, max_atoms), bool)
     for b, ci in enumerate(idx):
+        if ci < 0:  # padding sentinel: empty example (identity lattice keeps codecs finite)
+            lattice[b] = np.eye(3, dtype=dtype)
+            continue
         start, end = offsets[ci], offsets[ci + 1]
         n = end - start
         frac[b, :n] = frac_coords[start:end]

@@ -12,7 +12,10 @@
 //   frac_coords  [total_atoms, 3] double
 //   offsets      [n_crystals + 1] int64 prefix sums into the atom axis
 //   lattices     [n_crystals, 3, 3] double
-//   idx          [B] int64 — crystals to collate
+//   idx          [B] int64 — crystals to collate; idx < 0 emits an empty
+//                padding example (mask all 0, num_atoms 0, identity lattice)
+//                so short final chunks don't bias epoch metrics with
+//                duplicated crystals
 // Outputs:
 //   frac_out     [B, A, 3] float  (padded with 0)
 //   types_out    [B, A] int32     (padded with 0)
@@ -32,6 +35,16 @@ int collate_dense_f32(const int64_t* type_indices, const double* frac_coords,
                       int32_t* num_atoms_out, uint8_t* mask_out) {
   for (int64_t b = 0; b < batch; ++b) {
     const int64_t ci = idx[b];
+    if (ci < 0) {  // padding sentinel: empty example
+      std::memset(frac_out + b * max_atoms * 3, 0, sizeof(float) * 3 * max_atoms);
+      std::memset(types_out + b * max_atoms, 0, sizeof(int32_t) * max_atoms);
+      std::memset(mask_out + b * max_atoms, 0, sizeof(uint8_t) * max_atoms);
+      float* lat_dst = lattice_out + b * 9;
+      std::memset(lat_dst, 0, sizeof(float) * 9);
+      lat_dst[0] = lat_dst[4] = lat_dst[8] = 1.0f;  // identity keeps codecs finite
+      num_atoms_out[b] = 0;
+      continue;
+    }
     const int64_t start = offsets[ci];
     const int64_t count = offsets[ci + 1] - start;
     if (count > max_atoms) return 1;  // crystal exceeds bucket

@@ -298,10 +298,15 @@ class DiffusionModel:
             self.d3pm, batch.atom_types, pred_type_logits, noisy_types, t_atom, batch.atom_mask
         )
 
-        # 3) lattice-length MSE against per-atom-scaled target lengths
+        # 3) lattice-length MSE against per-atom-scaled target lengths.
+        # Padding examples (all-masked slots from short final loader chunks)
+        # are excluded so the mean is exact over real crystals.
+        example_mask = batch.atom_mask.any(axis=-1)  # [B]
+        n_examples = jnp.maximum(example_mask.sum(), 1)
         safe_n = jnp.maximum(batch.num_atoms, 1).astype(self.dtype)
         target_lengths = lengths / safe_n[:, None]
-        error_lattice = jnp.mean((pred_lengths - target_lengths) ** 2)
+        sq = jnp.mean((pred_lengths - target_lengths) ** 2, axis=-1)  # [B]
+        error_lattice = jnp.where(example_mask, sq, 0.0).sum() / n_examples
 
         total = (
             cfg.coord_loss_weight * error_coord
@@ -313,6 +318,9 @@ class DiffusionModel:
             "loss_coord": error_coord,
             "loss_type": error_type,
             "loss_lattice": error_lattice,
+            # real (unpadded) counts for exact crystal/atom-weighted epoch means
+            "num_crystals": n_examples.astype(jnp.float32),
+            "num_atoms": n_valid.astype(jnp.float32),
         }
         return total, metrics
 

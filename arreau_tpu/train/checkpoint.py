@@ -62,6 +62,48 @@ class CheckpointManager:
     def has(self, tag: str = "last") -> bool:
         return os.path.exists(self.path(tag))
 
+    # ---- ranked (top-k) retention, reference ModelCheckpoint save_top_k=3
+    # (/root/reference/main_diffusion.py:268-276). The scoreboard sidecar also
+    # persists the best score across preemption resumes, so a resumed run
+    # never overwrites 'best' with a worse checkpoint.
+
+    def _scores_path(self) -> str:
+        return os.path.join(self.directory, "scores.json")
+
+    def load_scores(self) -> dict:
+        if os.path.exists(self._scores_path()):
+            with open(self._scores_path()) as f:
+                return json.load(f)
+        return {"ranked": []}  # list of [score, tag], ascending
+
+    def best_score(self) -> float:
+        ranked = self.load_scores()["ranked"]
+        return float(ranked[0][0]) if ranked else float("inf")
+
+    def save_ranked(self, state: TrainState, score: float, step: int, keep: int = 3) -> bool:
+        """Keep the ``keep`` lowest-score checkpoints (tags ``best-<step>``)
+        plus a ``best`` alias for the current minimum. Returns whether this
+        checkpoint entered the top-k."""
+        import shutil
+
+        board = self.load_scores()
+        ranked = [(float(s), t) for s, t in board["ranked"]]
+        if len(ranked) >= keep and score >= ranked[-1][0]:
+            return False
+        tag = f"best-{step}"
+        self.save(state, tag)
+        ranked.append((float(score), tag))
+        ranked.sort(key=lambda st: st[0])
+        for _, old_tag in ranked[keep:]:
+            shutil.rmtree(self.path(old_tag), ignore_errors=True)
+        ranked = ranked[:keep]
+        if ranked[0][1] == tag:
+            self.save(state, "best")
+        board["ranked"] = [[s, t] for s, t in ranked]
+        with open(self._scores_path(), "w") as f:
+            json.dump(board, f, indent=2)
+        return True
+
 
 def diffusion_meta(config, z_table) -> dict:
     """Self-describing metadata for diffusion checkpoints (config + z-table,

@@ -18,25 +18,63 @@ import numpy as np
 
 
 class MeanMetrics:
-    """Running mean of scalar metric dicts (weighted by batch count)."""
+    """Running weighted mean of scalar metric dicts.
+
+    ``weight`` may be a scalar (applied to every key) or a dict mapping metric
+    name -> weight (missing keys default to 1). Per-key weighting makes epoch
+    means exact when batches carry different numbers of real crystals/atoms
+    (size buckets, padded final chunks): pass each metric's own denominator
+    (e.g. valid-atom count for per-atom means, real-crystal count for
+    per-crystal means) and the accumulated value is the true dataset mean,
+    independent of batch layout.
+    """
 
     def __init__(self):
         self._sums: Dict[str, float] = defaultdict(float)
-        self._count = 0
+        self._weights: Dict[str, float] = defaultdict(float)
 
-    def update(self, metrics: dict, weight: int = 1) -> None:
+    def update(self, metrics: dict, weight=1) -> None:
         for k, v in metrics.items():
-            self._sums[k] += float(v) * weight
-        self._count += weight
+            w = float(weight.get(k, 1)) if isinstance(weight, dict) else float(weight)
+            self._sums[k] += float(v) * w
+            self._weights[k] += w
 
     def compute(self) -> dict:
-        if self._count == 0:
-            return {}
-        return {k: v / self._count for k, v in self._sums.items()}
+        return {
+            k: v / self._weights[k] for k, v in self._sums.items() if self._weights[k] > 0
+        }
 
     def reset(self) -> None:
         self._sums.clear()
-        self._count = 0
+        self._weights.clear()
+
+
+# Which denominator each diffusion metric is a mean over. Metrics not listed
+# (e.g. grad_norm) default to plain batch-weighted means.
+_PER_ATOM_KEYS = ("loss_coord", "loss_type")
+_PER_CRYSTAL_KEYS = ("loss_lattice", "loss")
+
+
+def weighted_update(acc: MeanMetrics, metrics: dict) -> None:
+    """Exact epoch means for the diffusion metrics: per-atom means weighted by
+    the batch's valid-atom count, per-crystal means by its real (unpadded)
+    crystal count. The counts ride in the metrics dict (loss() emits them)."""
+    m = dict(metrics)
+    n_atoms = float(m.pop("num_atoms", 1.0))
+    n_crystals = float(m.pop("num_crystals", 1.0))
+    weights = {k: n_atoms for k in _PER_ATOM_KEYS}
+    weights.update({k: n_crystals for k in _PER_CRYSTAL_KEYS})
+    acc.update(m, weights)
+
+
+def exact_loss(m: dict) -> dict:
+    """Recompose the composite loss from exactly-weighted components: the
+    batch-level composite mixes per-atom and per-crystal denominators, so its
+    direct mean depends on batch layout; the component sum does not."""
+    if all(k in m for k in ("loss_coord", "loss_type", "loss_lattice")):
+        m = dict(m)
+        m["loss"] = m["loss_coord"] + m["loss_type"] + m["loss_lattice"]
+    return m
 
 
 class EpochTimer:

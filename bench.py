@@ -8,6 +8,11 @@ reference publishes no steps/sec; BASELINE.md derives ~780 steps/epoch and
 ~30 min to convergence on an A10. ``REF_STEPS_PER_SEC`` below is the
 documented estimate used for ``vs_baseline``: assuming ~20 epochs to converge
 (~15.6k steps in 30 min) => ~8.6 steps/s on the A10 in fp64.
+
+Param accounting: the bench model is ~2.31M params — the same count the
+reference Makefile config implies (hidden=200; its 18 MB fp64 checkpoint =
+2.31M x 8 bytes). The reference README's "1.1M" corresponds to the argparse
+default hidden=128, not the Makefile train target; see BASELINE.md.
 """
 
 from __future__ import annotations

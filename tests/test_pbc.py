@@ -147,3 +147,53 @@ def test_ve_wrapped_target_is_consistent():
     diff = np.abs(recon - frac % 1.0)
     diff = np.minimum(diff, 1 - diff)
     assert diff.max() < 1e-6
+
+
+def test_neighbor_list_chunked_matches_direct():
+    """The receiver-chunked selection path (large-A buckets) must produce the
+    same neighbor list as the single-shot path."""
+    lattices, frac, mask = _random_crystals(3, 12, seed=21)
+    cart = np.einsum("bai,bij->baj", frac, lattices)
+    direct = pbc.pbc_neighbor_list(
+        jnp.asarray(cart), jnp.asarray(lattices), jnp.asarray(mask), 5.0, 6,
+        max_select_elems=1 << 30,
+    )
+    # force chunking down to 1-4 receivers per chunk
+    chunked = pbc.pbc_neighbor_list(
+        jnp.asarray(cart), jnp.asarray(lattices), jnp.asarray(mask), 5.0, 6,
+        max_select_elems=3 * 4 * 12 * 27,
+    )
+    assert pbc._select_chunk_size(3, 12, 3 * 4 * 12 * 27) < 12
+    np.testing.assert_array_equal(np.asarray(direct.src), np.asarray(chunked.src))
+    np.testing.assert_array_equal(np.asarray(direct.image), np.asarray(chunked.image))
+    np.testing.assert_array_equal(np.asarray(direct.mask), np.asarray(chunked.mask))
+    np.testing.assert_allclose(
+        np.asarray(direct.dist), np.asarray(chunked.dist), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(direct.direction), np.asarray(chunked.direction), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_neighbor_list_gradients_flow_and_are_finite():
+    """Gradients reach cart and lattice through dist/direction (the
+    differentiable recompute phase), including under chunking."""
+    import jax
+
+    lattices, frac, mask = _random_crystals(2, 8, seed=22)
+    cart = np.einsum("bai,bij->baj", frac, lattices)
+
+    def loss(cart, lattice, max_elems):
+        nl = pbc.pbc_neighbor_list(
+            cart, lattice, jnp.asarray(mask), 5.0, 4, max_select_elems=max_elems
+        )
+        return jnp.sum(nl.dist**2) + jnp.sum(nl.direction**2)
+
+    for max_elems in (1 << 30, 2 * 2 * 8 * 27):
+        g_cart, g_lat = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(cart), jnp.asarray(lattices), max_elems
+        )
+        assert np.isfinite(np.asarray(g_cart)).all()
+        assert np.isfinite(np.asarray(g_lat)).all()
+        assert np.abs(np.asarray(g_cart)).sum() > 0
+        assert np.abs(np.asarray(g_lat)).sum() > 0
