@@ -26,6 +26,9 @@ equivariance:
 test:
 	python -m pytest tests/ -x -q
 
+test-all:
+	python -m pytest tests/ -q --runslow
+
 bench:
 	python bench.py
 

@@ -36,7 +36,45 @@ def parse_args(argv=None):
         default=None,
         help="comma-separated element symbols to pin atom types (e.g. 'C,C,C,C')",
     )
+    p.add_argument(
+        "--quality_ref",
+        type=str,
+        default=None,
+        help="training-data reference for the sample-quality report: a packed "
+        "HDF5 path, or 'synthetic[:size[:seed]]' to regenerate the synthetic "
+        "training distribution. Writes <out_dir>/quality.json.",
+    )
     return p.parse_args(argv)
+
+
+def quality_from_results(result, z_table, quality_ref: str) -> dict:
+    """Compute the sample-quality report against a training reference."""
+    from arreau_tpu.inference.quality import dataset_reference_stats, quality_report
+
+    if quality_ref.startswith("synthetic"):
+        from arreau_tpu.data.synthetic import synthetic_packed
+
+        parts = quality_ref.split(":")
+        size = int(parts[1]) if len(parts) > 1 else 2000
+        seed = int(parts[2]) if len(parts) > 2 else 0
+        ds = synthetic_packed(size, seed=seed)
+    else:
+        from arreau_tpu.data.crystal import CrystalDataset
+
+        ds = CrystalDataset([quality_ref])
+    ref = dataset_reference_stats(ds.packed, ds.type_indices, len(ds.z_table))
+    gen_type_idx = z_table.zs_to_indices(result.atomic_numbers)
+    return quality_report(
+        gen_frac=result.frac_x,
+        gen_types=gen_type_idx,
+        gen_lattices=result.lattice,
+        gen_idx_start=result.idx_start,
+        gen_num_atoms=result.num_atoms,
+        ref_lengths=ref["lengths"],
+        ref_angles=ref["angles"],
+        num_types=len(z_table),
+        ref_type_mi=ref["type_mi"],
+    )
 
 
 def load_model(checkpoint_dir: str, tag: str, use_ema: bool):
@@ -141,6 +179,18 @@ def main(argv=None):
     out_path = os.path.join(args.out_dir, "crystals.h5")
     save_sample_results(out_path, result)
     print(f"saved {result.num_crystals} crystals to {out_path}")
+
+    if args.quality_ref:
+        import json
+
+        report = quality_from_results(result, z_table, args.quality_ref)
+        print("sample quality vs training data:")
+        for k, v in report.items():
+            print(f"  {k}: {v:.4f}")
+        qpath = os.path.join(args.out_dir, "quality.json")
+        with open(qpath, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {qpath}")
 
     if args.visualize:
         from arreau_tpu.inference.visualize import plot_crystal

@@ -26,6 +26,10 @@ def parse_args(argv=None):
     p.add_argument("--val_interval", type=int, default=5)
     p.add_argument("--train_augm", type=eval, default=True)
     p.add_argument("--max_training_samples", type=int, default=3000)
+    p.add_argument("--generate_train", type=int, default=10000,
+                   help="trajectories to simulate for the train file when the dataset "
+                        "is absent (valid/test get 1/5 each: the reference "
+                        "nbody_small 10k/2k/2k convention, trained on a 3k subset)")
     p.add_argument("--dataset", type=str, default="nbody_small")
     p.add_argument("--data_dir", type=str, default="datasets/nbody")
     p.add_argument("--radius", type=eval, default=None)
@@ -63,7 +67,7 @@ def main(argv=None):
 
     splits = {
         split: load_or_generate(
-            args.data_dir, split, num_train=max(args.max_training_samples, 1000),
+            args.data_dir, split, num_train=max(args.generate_train, args.max_training_samples),
             dataset_name=args.dataset, seed=43,
             max_samples=args.max_training_samples if split == "train" else None,
         )

@@ -1,0 +1,159 @@
+"""Generated-crystal quality metrics.
+
+The reference has no quantitative sample-quality evaluation (its checks are
+visual: plotly renders + MACE relaxation energies). This harness makes sample
+quality a measured, regression-gated deliverable:
+
+  * **Wasserstein-1 distance** between generated and training distributions of
+    lattice lengths and cell angles (1D, via quantile integration);
+  * **min-interatomic-distance violation rate**: fraction of generated
+    crystals whose closest atom pair (under PBC, 27 images) is below a
+    physical threshold (default 0.5 angstrom — overlapping atoms);
+  * **type–geometry mutual information**: how much the generated atom types
+    know about the fractional z coordinate (the synthetic dataset's types are
+    a deterministic function of it, data/synthetic.py:42-46 — a model that
+    learned the joint distribution scores close to the data's MI, one that
+    samples types at chance scores ~0);
+  * **in-range fraction** of generated lattice lengths within the training
+    min/max envelope (the round-1 failure mode was 44 angstrom lengths vs a
+    3-8 angstrom data range — this is the direct regression gate for it).
+
+All host-side numpy — runs on flattened SampleResult-style arrays.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+PBC_OFFSETS = np.array(list(itertools.product((-1, 0, 1), repeat=3)), dtype=np.float64)
+
+
+def wasserstein1(a: np.ndarray, b: np.ndarray, num_quantiles: int = 512) -> float:
+    """1D W1 distance via quantile-function integration."""
+    q = np.linspace(0.0, 1.0, num_quantiles)
+    qa = np.quantile(np.asarray(a, np.float64).ravel(), q)
+    qb = np.quantile(np.asarray(b, np.float64).ravel(), q)
+    return float(np.mean(np.abs(qa - qb)))
+
+
+def lattice_params_np(lattices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-basis lattices [N, 3, 3] -> (lengths [N, 3], angles_deg [N, 3]).
+
+    Same math as ops/lattice.matrix_to_params (pymatgen convention), numpy
+    host-side."""
+    lat = np.asarray(lattices, np.float64)
+    lengths = np.linalg.norm(lat, axis=-1)
+    angles = np.zeros_like(lengths)
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        cos = np.sum(lat[:, j] * lat[:, k], axis=-1) / np.maximum(
+            lengths[:, j] * lengths[:, k], 1e-12
+        )
+        angles[:, i] = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+    return lengths, angles
+
+
+def min_pairwise_distance(frac: np.ndarray, lattice: np.ndarray) -> float:
+    """Min interatomic distance of one crystal under PBC (27 images).
+
+    frac: [n, 3] fractional coords; lattice: [3, 3] row basis. Returns +inf
+    for crystals with < 2 atoms."""
+    n = len(frac)
+    if n < 2:
+        return float("inf")
+    cart = (np.asarray(frac, np.float64) % 1.0) @ np.asarray(lattice, np.float64)
+    best = np.inf
+    for off in PBC_OFFSETS:
+        shift = off @ lattice
+        d = cart[:, None, :] - (cart[None, :, :] + shift)
+        sqr = (d**2).sum(-1)
+        if (off == 0).all():
+            np.fill_diagonal(sqr, np.inf)
+        best = min(best, float(sqr.min()))
+    return float(np.sqrt(best))
+
+
+def min_distance_violation_rate(
+    frac_x: np.ndarray,
+    lattices: np.ndarray,
+    idx_start: np.ndarray,
+    num_atoms: np.ndarray,
+    threshold: float = 0.5,
+) -> float:
+    """Fraction of crystals whose min interatomic PBC distance < threshold."""
+    violations = 0
+    n_crystals = len(num_atoms)
+    for i in range(n_crystals):
+        s, n = int(idx_start[i]), int(num_atoms[i])
+        if min_pairwise_distance(frac_x[s : s + n], lattices[i]) < threshold:
+            violations += 1
+    return violations / max(n_crystals, 1)
+
+
+def type_geometry_mutual_info(
+    types: np.ndarray, frac_z: np.ndarray, num_types: int, num_bins: int = 8
+) -> float:
+    """Binned mutual information I(type; frac_z) in nats."""
+    types = np.asarray(types).ravel()
+    z = np.asarray(frac_z).ravel() % 1.0
+    bins = np.minimum((z * num_bins).astype(int), num_bins - 1)
+    joint = np.zeros((num_types, num_bins), np.float64)
+    np.add.at(joint, (np.clip(types, 0, num_types - 1), bins), 1.0)
+    joint /= max(joint.sum(), 1.0)
+    pt = joint.sum(1, keepdims=True)
+    pb = joint.sum(0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = joint * (np.log(joint) - np.log(pt) - np.log(pb))
+    return float(np.nansum(terms))
+
+
+def quality_report(
+    gen_frac: np.ndarray,
+    gen_types: np.ndarray,
+    gen_lattices: np.ndarray,
+    gen_idx_start: np.ndarray,
+    gen_num_atoms: np.ndarray,
+    ref_lengths: np.ndarray,
+    ref_angles: np.ndarray,
+    num_types: int,
+    ref_type_mi: float | None = None,
+    min_dist_threshold: float = 0.5,
+) -> dict:
+    """Full quality report of generated crystals vs training statistics."""
+    lengths, angles = lattice_params_np(gen_lattices)
+    lo, hi = float(np.min(ref_lengths)), float(np.max(ref_lengths))
+    margin = 0.25 * (hi - lo)
+    in_range = float(
+        np.mean((lengths >= lo - margin) & (lengths <= hi + margin))
+    )
+    report = {
+        "w1_lengths": wasserstein1(lengths, ref_lengths),
+        "w1_angles_deg": wasserstein1(angles, ref_angles),
+        "gen_length_mean": float(lengths.mean()),
+        "gen_length_std": float(lengths.std()),
+        "ref_length_mean": float(np.mean(ref_lengths)),
+        "length_in_range_frac": in_range,
+        "min_dist_violation_rate": min_distance_violation_rate(
+            gen_frac, gen_lattices, gen_idx_start, gen_num_atoms, min_dist_threshold
+        ),
+        "type_geometry_mi": type_geometry_mutual_info(
+            gen_types, gen_frac[:, 2], num_types
+        ),
+    }
+    if ref_type_mi is not None:
+        report["ref_type_geometry_mi"] = float(ref_type_mi)
+    return report
+
+
+def dataset_reference_stats(packed, type_indices: np.ndarray, num_types: int) -> dict:
+    """Reference statistics from a PackedCrystals training set."""
+    lengths, angles = lattice_params_np(packed.lattices)
+    return {
+        "lengths": lengths,
+        "angles": angles,
+        "type_mi": type_geometry_mutual_info(
+            type_indices, packed.frac_coords[:, 2], num_types
+        ),
+    }

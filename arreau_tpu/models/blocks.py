@@ -105,11 +105,11 @@ class FiberBundleConv(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,  # [B, A, O, C]
-        kernel_basis: jax.Array,  # [B, A, K, O, D]; O-major [B, O, A*K, D] when use_pallas
+        x: jax.Array,  # [B, A, O, C]; O-major [B', O, TA, C] when use_pallas
+        kernel_basis: jax.Array,  # [B, A, K, O, D]; k-major O-major [B', O, K*TA, D] when use_pallas
         fiber_kernel_basis: jax.Array,  # [O, O, basis_dim]
         src: jax.Array,  # [B, A, K]
-        edge_mask: jax.Array,  # [B, A, K]; gather matrix [B, A*K, A] when use_pallas
+        edge_mask: jax.Array,  # [B, A, K]; gather matrix [B', K*TA, TA] when use_pallas
     ) -> tuple[jax.Array, Optional[jax.Array]]:
         scale = 1.0 / jnp.sqrt(self.expected_degree)
         basis_dim = kernel_basis.shape[-1]
@@ -121,36 +121,35 @@ class FiberBundleConv(nn.Module):
         )
         w = w_spatial.astype(self.dtype) if self.dtype else w_spatial
 
-        if self.use_pallas and not self.return_messages:
-            from arreau_tpu.ops.pallas_conv import fused_spatial_conv
-
-            # kernel_basis is orientation-major [B/T, O, T*A*K, D] and
-            # edge_mask carries the [B/T, T*A*K, T*A] gather matrix; fold the
-            # same T crystals per tile into the node tensor (free reshape).
-            B, A = x.shape[0], x.shape[1]
-            BT = kernel_basis.shape[0]
-            tile = B // BT
-            x_tiled = x.reshape(BT, tile * A, *x.shape[2:])
-            y = fused_spatial_conv(
-                kernel_basis.astype(w.dtype), w, x_tiled.astype(w.dtype), edge_mask
-            )
-            x_spatial = y.reshape(B, A, *y.shape[2:])
-            messages = None
-        else:
-            kernel = jnp.einsum(
-                "bakod,dc->bakoc", kernel_basis.astype(w.dtype), w
-            )  # [B, A, K, O, C]
-            # Gather sender features along the atom axis of each crystal.
-            B, A, K = src.shape
-            idx = src.reshape(B, A * K)[:, :, None, None]  # [B, A*K, 1, 1]
-            x_j = jnp.take_along_axis(x, idx, axis=1).reshape(B, A, K, *x.shape[2:])
-            messages = kernel * x_j.astype(kernel.dtype)
-            x_spatial = jnp.where(edge_mask[..., None, None], messages, 0.0).sum(axis=2)
-
         fiber_kernel = nn.Dense(
             self.channels, use_bias=False, name="fiber_kernel", dtype=self.dtype
-        )(fiber_kernel_basis)  # [O, O, C]
+        )(fiber_kernel_basis)  # [O, P, C]
         num_ori = fiber_kernel.shape[0]
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+
+        if self.use_pallas and not self.return_messages:
+            from arreau_tpu.ops.pallas_conv import fused_fiber_conv
+
+            # One fused kernel: spatial conv + K-reduce + fiber mixing, all
+            # VMEM-resident per super-crystal (x already [B', O, TA, C]).
+            y = fused_fiber_conv(
+                kernel_basis.astype(w.dtype),
+                w,
+                x.astype(w.dtype),
+                edge_mask,
+                fiber_kernel / num_ori,
+            )  # [B', P, TA, C] f32 — already orientation-major for the next layer
+            return y + bias, None
+        kernel = jnp.einsum(
+            "bakod,dc->bakoc", kernel_basis.astype(w.dtype), w
+        )  # [B, A, K, O, C]
+        # Gather sender features along the atom axis of each crystal.
+        B, A, K = src.shape
+        idx = src.reshape(B, A * K)[:, :, None, None]  # [B, A*K, 1, 1]
+        x_j = jnp.take_along_axis(x, idx, axis=1).reshape(B, A, K, *x.shape[2:])
+        messages = kernel * x_j.astype(kernel.dtype)
+        x_spatial = jnp.where(edge_mask[..., None, None], messages, 0.0).sum(axis=2)
+
         x_out = (
             jnp.einsum(
                 "baoc,opc->bapc",
@@ -160,8 +159,6 @@ class FiberBundleConv(nn.Module):
             )
             / num_ori
         )
-
-        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
         return x_out + bias.astype(x_out.dtype), messages
 
 

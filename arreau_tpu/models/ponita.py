@@ -184,18 +184,32 @@ class PonitaFiberBundle(nn.Module):
             use_pallas = False  # per-edge messages require the XLA path
 
         conv_src, conv_mask = nb.src, nb.mask
+        B_, A_, K_, O_, _ = attr.shape
+        tile = 1
         if use_pallas:
-            from arreau_tpu.ops.pallas_conv import make_gather_matrix
+            from arreau_tpu.ops.pallas_conv import make_gather_matrix, pick_tile
 
-            # For the fused kernel the basis must be orientation-major
-            # [B, O, A*K, D]. Transposing the SMALL attr tensor before the
-            # basis MLP (pointwise over rows, layout-agnostic) gets that
-            # layout for free — no transpose of the 100x larger basis tensor
-            # in either direction of autodiff.
-            B_, A_, K_, O_, _ = attr.shape
-            attr = attr.transpose(0, 3, 1, 2, 4)  # [B, O, A, K, 6]
-            window = polynomial_cutoff(dists, cfg.radius)[:, None, :, :, None]
-            conv_mask = make_gather_matrix(nb.src, nb.mask, dtype=cdtype or attr.dtype)
+            # The fused kernel works on "super-crystals" of T crystals (TA =
+            # T*A atoms, sized ~256 so per-program matmuls feed the MXU at
+            # every bucket size) with orientation-major, k-major-edge-row
+            # layouts. All layout shuffles happen on the SMALL attr/lift
+            # tensors before the big MLPs (pointwise over rows,
+            # layout-agnostic) — the 100x larger basis tensor is produced
+            # directly in kernel layout, in both directions of autodiff.
+            tile = pick_tile(B_, A_)
+            Bp = B_ // tile
+            # attr [B, A, K, O, F] -> [B', O, K, T, A, F] -> [B', O, E, F]
+            attr = attr.reshape(Bp, tile, A_, K_, O_, attr.shape[-1])
+            attr = attr.transpose(0, 4, 3, 1, 2, 5).reshape(
+                Bp, O_, K_ * tile * A_, attr.shape[-1]
+            )
+            # window [B, A, K] -> k-major rows [B', 1, E, 1]
+            window = polynomial_cutoff(dists, cfg.radius)
+            window = window.reshape(Bp, tile, A_, K_).transpose(0, 3, 1, 2)
+            window = window.reshape(Bp, 1, K_ * tile * A_, 1)
+            conv_mask = make_gather_matrix(
+                nb.src, nb.mask, dtype=cdtype or attr.dtype, crystals_per_tile=tile
+            )
         else:
             window = polynomial_cutoff(dists, cfg.radius)[..., None, None]
 
@@ -203,15 +217,16 @@ class PonitaFiberBundle(nn.Module):
             BasisMLP(cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="basis_fn")(attr)
             * window.astype(cdtype or window.dtype)
         )
-        if use_pallas:
-            kernel_basis = kernel_basis.reshape(
-                B_, O_, A_ * K_, kernel_basis.shape[-1]
-            )
         fiber_kernel_basis = BasisMLP(
             cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="fiber_basis_fn"
         )(fiber_attr)
 
         # ---- Embed + interaction/readout stack --------------------------
+        if use_pallas:
+            # lift -> O-major super-crystal layout [B', O, T*A, F] (the whole
+            # interaction stack is elementwise/last-dim over this layout)
+            x = x.reshape(Bp, tile, A_, num_ori, x.shape[-1])
+            x = x.transpose(0, 3, 1, 2, 4).reshape(Bp, num_ori, tile * A_, x.shape[-1])
         x = nn.Dense(cfg.hidden_dim, use_bias=False, name="x_embedder", dtype=cdtype)(x)
         x = x.astype(jnp.float32)
 
@@ -246,6 +261,13 @@ class PonitaFiberBundle(nn.Module):
                         nn.Dense(cfg.output_dim_edge_scalar, name=f"edge_readout_{i}")(edge_in)
                     )
         readout = sum(readouts) / len(readouts)
+        if use_pallas:
+            # back to [B, A, O, out_total] (small head tensor) for the
+            # sphere projections and per-atom outputs
+            readout = readout.reshape(B_ // tile, num_ori, tile, A_, out_total)
+            readout = readout.transpose(0, 2, 3, 1, 4).reshape(
+                B_, A_, num_ori, out_total
+            )
 
         # ---- Split heads and project off the sphere ---------------------
         s0 = cfg.output_dim_scalar

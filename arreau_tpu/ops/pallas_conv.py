@@ -1,34 +1,41 @@
-"""Fused Pallas TPU kernel for the spatial fiber-bundle convolution.
+"""Fused Pallas TPU kernel for the fiber-bundle convolution (spatial conv +
+spherical fiber mixing in one VMEM-resident pass).
 
 The hot op of the backbone (SURVEY.md §3: HOT LOOP #2) is, per layer:
 
-    y[a, o, c] = sum_k mask[a,k] * (basis[a,k,o,:] @ W)_c * x[src[a,k], o, c]
+    x_sp[a, o, c] = sum_k mask[a,k] * (basis[a,k,o,:] @ W)_c * x[src[a,k], o, c]
+    y[a, p, c]    = bias_c + sum_o x_sp[a, o, c] * Kf[o, p, c] / O
 
-XLA's lowering materializes the per-edge kernel ``basis @ W`` and the
-gathered ``x_j`` as [B, A, K, O, C] HBM tensors (~200-400 MB each at the
-canonical config). This kernel fuses the edge-kernel matmul, the sender
-gather, the mask and the K-reduction into one VMEM-resident pass per
-crystal: nothing edge-shaped ever touches HBM.
+XLA's lowering materializes the per-edge kernel ``basis @ W``, the gathered
+``x_j`` and the intermediate ``x_sp`` as HBM tensors, and lowers the fiber
+einsum as tiny [.,16]x[16,16] matmuls that waste the MXU. This kernel fuses
+the edge-kernel matmul, the sender gather, the K-reduction AND the fiber
+mixing: nothing edge- or orientation-intermediate ever touches HBM.
 
-TPU-native design choices (shaped by Mosaic's layout rules — no
-lane-crossing reshapes, block last-two-dims must tile (8, 128) or span the
-array):
-  * grid = one program per crystal; all intermediates live in VMEM;
-  * the kernel basis arrives **orientation-major** ``[B, O, A*K, D]`` (the
-    caller produces it in this layout; the attr tensor it derives from is
-    small, so the transpose is cheap) — each orientation slice is a clean
-    2D matmul operand;
-  * the neighbor gather is a **one-hot matmul**: the caller passes
-    ``sel[b, a*K+k, j] = mask[b,a,k] * (src[b,a,k] == j)`` (a tiny
-    [B, A*K, A] tensor), and the per-receiver K-reduction is a constant
-    iota-built matrix — data-dependent indexing becomes MXU work;
-  * a static unrolled loop over the O orientations keeps every operand 2D;
-  * custom VJP with the same structure; dW accumulates across the grid in a
-    revisited output block.
+TPU-native design (see /opt/skills/guides/pallas_guide.md; VMEM ~16 MB):
 
-Public entry: :func:`fused_spatial_conv` (same math as
-:func:`reference_spatial_conv`, the plain-XLA oracle/fallback, which takes
-the standard ``[B, A, K, O, D]`` basis layout).
+  * **Crystal tiling**: T crystals fold into one "super-crystal" of TA = T*A
+    atoms (block-diagonal gather), sized so TA ~ 256 — per-program matmuls
+    are then [K*TA, D] @ [D, C] (e.g. [2048, 256] @ [256, 200]), which feeds
+    the MXU properly at every bucket size. At the A=256 bucket T=1 and the
+    same kernel applies — large crystals fit because blocks are per-(b', o).
+  * **Grid (B', O), o innermost**: the output block (one super-crystal's
+    [P, TA, C]) stays resident in VMEM while the o axis accumulates the
+    fiber-mixed contributions into it (zeroed at o == 0).
+  * **k-major edge rows** (row e = k*TA + ta): the K-reduction over neighbor
+    slots is K contiguous [TA, C] row-block adds — no lane-crossing reshape,
+    no reduction matmul.
+  * **One-hot-matmul gather**: ``sel[b', e, ta] = mask * (src == ta)`` turns
+    the data-dependent neighbor gather into MXU work (exact in bf16).
+  * Backward recomputes the forward intermediates per (b', o) instead of
+    storing them; dW and dKf are emitted as small per-b' partials summed
+    outside the kernel (avoids cross-o revisit-eviction hazards).
+
+Public entry: :func:`fused_fiber_conv` (custom VJP). The plain-XLA oracle
+with standard layouts is :func:`reference_fiber_conv`.
+
+Reference behavior being replaced: FiberBundleConv's propagate + fiber einsum
+(/root/reference/ponita/nn/conv.py:71-146) built on torch_scatter CUDA ops.
 """
 
 from __future__ import annotations
@@ -40,92 +47,113 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+HI = jax.lax.Precision.HIGHEST
+
+
+def pick_tile(batch: int, atoms: int, target: int = 256) -> int:
+    """Largest divisor T of ``batch`` with T * atoms <= target (min 1)."""
+    best = 1
+    for t in range(1, batch + 1):
+        if batch % t == 0 and t * atoms <= target:
+            best = t
+    return best
+
 
 def make_gather_matrix(
     src: jax.Array, mask: jax.Array, dtype=jnp.bfloat16, crystals_per_tile: int = 1
 ) -> jax.Array:
-    """One-hot gather matrix with the edge mask folded in.
+    """Masked one-hot gather matrix in k-major row order.
 
-    With ``crystals_per_tile = T``, T crystals are folded into one grid
-    program (block-diagonal gather over T*A atoms): larger matmul M dims use
-    the MXU far better than per-crystal [A*K, ...] operands. Returns
-    ``[B/T, T*A*K, T*A]``.
+    Folds T = ``crystals_per_tile`` crystals into a block-diagonal gather over
+    TA = T*A atoms. Row e = k*TA + (t*A + a); column = sender atom index in
+    the super-crystal. Returns ``[B/T, K*TA, TA]``.
     """
     B, A, K = src.shape
     T = crystals_per_tile
-    if T > 1:
-        assert B % T == 0, (B, T)
-        offset = (jnp.arange(T, dtype=src.dtype) * A)[None, :, None, None]
-        src = src.reshape(B // T, T, A, K) + offset
-        src = src.reshape(B // T, T * A, K)
-        mask = mask.reshape(B // T, T * A, K)
-        A = T * A
-        B = B // T
-    sel = jax.nn.one_hot(src, A, dtype=dtype) * mask[..., None].astype(dtype)
-    return sel.reshape(B, A * K, A)
+    assert B % T == 0, (B, T)
+    offset = (jnp.arange(T, dtype=src.dtype) * A)[None, :, None, None]
+    src = src.reshape(B // T, T, A, K) + offset  # [B', T, A, K]
+    src = src.transpose(0, 3, 1, 2).reshape(B // T, K * T * A)  # k-major rows
+    mask = mask.reshape(B // T, T, A, K).transpose(0, 3, 1, 2).reshape(B // T, K * T * A)
+    sel = jax.nn.one_hot(src, T * A, dtype=dtype) * mask[..., None].astype(dtype)
+    return sel
 
 
-def _red_matrix(A: int, K: int, dtype):
-    """Constant K-reduction matrix [A, A*K]: R[a, e] = (e // K == a)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (A, A * K), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (A, A * K), 1)
-    return (cols // K == rows).astype(dtype)
-
-
-def _fwd_kernel(O, srcsel_ref, basis_ref, w_ref, x_ref, y_ref):
-    _, _, AK, D = basis_ref.shape
-    A, C = x_ref.shape[1], x_ref.shape[3]
-    f32 = jnp.float32
-    sel = srcsel_ref[0]  # [AK, A]
-    # f32 operands need HIGHEST to avoid bf16 rounding on the MXU; bf16
-    # operands reject it (and the one-hot gather is exact in bf16 anyway)
-    hi = jax.lax.Precision.HIGHEST if sel.dtype == f32 else None
-    red = _red_matrix(A, AK // A, sel.dtype)  # [A, AK]
-    for o in range(O):
-        kern = jnp.dot(basis_ref[0, o], w_ref[:], preferred_element_type=f32)  # [AK, C]
-        x_o = x_ref[0, :, o, :]  # [A, C]
-        # one-hot gather/reduce matmuls must be exact (HIGHEST avoids the
-        # default bf16 rounding of f32 operands on the MXU)
-        x_j = jnp.dot(sel, x_o, preferred_element_type=f32, precision=hi)  # [AK, C]
-        msg = kern * x_j
-        y_ref[0, :, o, :] = jnp.dot(
-            red.astype(f32), msg, preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(y_ref.dtype)
-
-
-def _bwd_kernel(O, srcsel_ref, basis_ref, w_ref, x_ref, g_ref,
-                dbasis_ref, dw_ref, dx_ref):
-    _, _, AK, D = basis_ref.shape
-    A, C = x_ref.shape[1], x_ref.shape[3]
+def _fwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, y_ref):
+    o = pl.program_id(1)
+    TA, C = x_ref.shape[2], x_ref.shape[3]
+    P = fk_ref.shape[1]
     f32 = jnp.float32
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(o == 0)
     def _():
-        dw_ref[:] = jnp.zeros_like(dw_ref)
+        y_ref[:] = jnp.zeros_like(y_ref)
 
-    sel = srcsel_ref[0]  # [AK, A]
-    hi = jax.lax.Precision.HIGHEST if sel.dtype == f32 else None
-    hi32 = jax.lax.Precision.HIGHEST
-    sel_t32 = sel.astype(f32).T
-    red_t = _red_matrix(A, AK // A, f32).T  # [AK, A]
-    for o in range(O):
-        basis_o = basis_ref[0, o]  # [AK, D]
-        kern = jnp.dot(basis_o, w_ref[:], preferred_element_type=f32)  # [AK, C]
-        x_o = x_ref[0, :, o, :]
-        x_j = jnp.dot(sel, x_o, preferred_element_type=f32, precision=hi)  # [AK, C]
-        g_o = g_ref[0, :, o, :].astype(f32)  # [A, C]
-        g_rows = jnp.dot(red_t, g_o, preferred_element_type=f32, precision=hi32)  # [AK, C]
+    sel = sel_ref[0]  # [E, TA]
+    # f32 operands need HIGHEST to avoid bf16 rounding on the MXU; bf16
+    # operands reject it (the one-hot gather is exact in bf16 anyway).
+    hi = HI if sel.dtype == f32 else None
+    kern = jnp.dot(basis_ref[0, 0], w_ref[:], preferred_element_type=f32)  # [E, C]
+    x_j = jnp.dot(sel, x_ref[0, 0], preferred_element_type=f32, precision=hi)  # [E, C]
+    msg = kern * x_j
+    x_sp = msg[0:TA]
+    for k in range(1, K):
+        x_sp = x_sp + msg[k * TA : (k + 1) * TA]  # [TA, C]
+    for p in range(P):
+        y_ref[0, p] += x_sp * fk_ref[o, p][None, :].astype(f32)
 
-        gx = g_rows * x_j  # [AK, C] (mask folded into sel -> x_j)
-        dbasis_ref[0, o] = jnp.dot(
-            gx, w_ref[:].astype(f32).T, preferred_element_type=f32
+
+def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
+                dbasis_ref, dwp_ref, dx_ref, dfk_ref):
+    o = pl.program_id(1)
+    TA, C = x_ref.shape[2], x_ref.shape[3]
+    P = fk_ref.shape[1]
+    f32 = jnp.float32
+
+    @pl.when(o == 0)
+    def _():
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+
+    sel = sel_ref[0]  # [E, TA]
+    hi = HI if sel.dtype == f32 else None
+    w = w_ref[:]
+
+    # recompute forward intermediates for this orientation
+    kern = jnp.dot(basis_ref[0, 0], w, preferred_element_type=f32)  # [E, C]
+    x_j = jnp.dot(sel, x_ref[0, 0], preferred_element_type=f32, precision=hi)
+    msg = kern * x_j
+    x_sp = msg[0:TA]
+    for k in range(1, K):
+        x_sp = x_sp + msg[k * TA : (k + 1) * TA]
+
+    # dL/d(x_sp) for this o, and dL/d(fiber kernel) partial for this (b', o)
+    g_o = jnp.zeros((TA, C), f32)
+    for p in range(P):
+        g_p = g_ref[0, p]  # [TA, C] f32
+        g_o = g_o + g_p * fk_ref[o, p][None, :].astype(f32)
+        dfk_ref[0, 0, p] = jnp.sum(x_sp * g_p, axis=0)
+
+    # chain into the spatial conv: per k row-block (g_rows[e] = g_o[receiver])
+    w32_t = w.astype(f32).T  # [C, D]
+    dw_acc = jnp.zeros_like(dwp_ref[0])
+    for k in range(K):
+        sl = slice(k * TA, (k + 1) * TA)
+        gx_k = g_o * x_j[sl]  # [TA, C]
+        dbasis_ref[0, 0, sl, :] = jnp.dot(
+            gx_k, w32_t, preferred_element_type=f32
         ).astype(dbasis_ref.dtype)
-        dw_ref[:] += jnp.dot(basis_o.astype(f32).T, gx, preferred_element_type=f32)
-        dxc = kern * g_rows
-        dx_ref[0, :, o, :] = jnp.dot(
-            sel_t32, dxc, preferred_element_type=f32, precision=hi32
-        ).astype(dx_ref.dtype)
+        dw_acc = dw_acc + jnp.dot(
+            basis_ref[0, 0, sl, :].astype(f32).T, gx_k, preferred_element_type=f32,
+            precision=HI,
+        )
+        dxc_k = kern[sl] * g_o  # [TA, C]
+        sel_k_t = sel[sl].astype(f32).T  # [TA(senders), TA(receivers)]
+        if k == 0:
+            dx = jnp.dot(sel_k_t, dxc_k, preferred_element_type=f32, precision=HI)
+        else:
+            dx = dx + jnp.dot(sel_k_t, dxc_k, preferred_element_type=f32, precision=HI)
+    dwp_ref[:] += dw_acc[None]
+    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
 
 
 def _interpret() -> bool:
@@ -133,97 +161,111 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd(basis_om, w, x, sel):
-    B, O, AK, D = basis_om.shape
-    A, C = x.shape[1], x.shape[3]
+def _fwd(basis_om, w, x_om, sel, fiber_kernel):
+    Bp, O, E, D = basis_om.shape
+    TA, C = x_om.shape[2], x_om.shape[3]
+    P = fiber_kernel.shape[1]
+    K = E // TA
     return pl.pallas_call(
-        partial(_fwd_kernel, O),
-        grid=(B,),
+        partial(_fwd_kernel, K),
+        grid=(Bp, O),
         in_specs=[
-            pl.BlockSpec((1, AK, A), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O, AK, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, O, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, A, O, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, A, O, C), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, P, TA, C), lambda b, o: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, P, TA, C), jnp.float32),
         interpret=_interpret(),
-    )(sel, basis_om, w, x)
+    )(sel, basis_om, w, x_om, fiber_kernel)
 
 
-def _bwd(basis_om, w, x, sel, g):
-    B, O, AK, D = basis_om.shape
-    A, C = x.shape[1], x.shape[3]
-    dbasis, dw, dx = pl.pallas_call(
-        partial(_bwd_kernel, O),
-        grid=(B,),
+def _bwd(basis_om, w, x_om, sel, fiber_kernel, g):
+    Bp, O, E, D = basis_om.shape
+    TA, C = x_om.shape[2], x_om.shape[3]
+    P = fiber_kernel.shape[1]
+    K = E // TA
+    dbasis, dwp, dx, dfkp = pl.pallas_call(
+        partial(_bwd_kernel, K),
+        grid=(Bp, O),
         in_specs=[
-            pl.BlockSpec((1, AK, A), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O, AK, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, O, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, O, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, TA, C), lambda b, o: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, O, AK, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            # dW accumulates across the whole grid in one revisited block
-            pl.BlockSpec((D, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, O, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            # dW partial per super-crystal, accumulated over the (inner) o axis
+            pl.BlockSpec((1, D, C), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, O, AK, D), basis_om.dtype),
-            jax.ShapeDtypeStruct((D, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, A, O, C), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, O, E, D), basis_om.dtype),
+            jax.ShapeDtypeStruct((Bp, D, C), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, O, TA, C), x_om.dtype),
+            jax.ShapeDtypeStruct((Bp, O, P, C), jnp.float32),
         ],
         interpret=_interpret(),
-    )(sel, basis_om, w, x, g)
-    return dbasis, dw.astype(w.dtype), dx.astype(x.dtype)
+    )(sel, basis_om, w, x_om, fiber_kernel, g.astype(jnp.float32))
+    dw = dwp.sum(axis=0).astype(w.dtype)
+    dfk = dfkp.sum(axis=0).astype(fiber_kernel.dtype)
+    return dbasis, dw, dx, dfk
 
 
-@partial(jax.custom_vjp, nondiff_argnums=())
-def fused_spatial_conv(basis_om, w, x, sel):
-    """Fused spatial conv with orientation-major basis.
+@jax.custom_vjp
+def fused_fiber_conv(basis_om, w, x_om, sel, fiber_kernel):
+    """Fused spatial + fiber convolution over super-crystal tiles.
 
     Args:
-      basis_om: [B, O, A*K, D] windowed kernel basis (row e = a*K + k).
+      basis_om: [B', O, E, D] windowed kernel basis, k-major rows
+        (E = K*TA, row e = k*TA + ta).
       w: [D, C] spatial kernel weight.
-      x: [B, A, O, C] node features.
-      sel: [B, A*K, A] masked one-hot gather matrix (make_gather_matrix).
+      x_om: [B', O, TA, C] node features, orientation-major.
+      sel: [B', E, TA] masked block-diagonal one-hot gather
+        (:func:`make_gather_matrix`).
+      fiber_kernel: [O, P, C] spherical mixing kernel (pre-scaled by 1/O).
 
-    Returns float32 [B, A, O, C]:
-      y[b,a,o,c] = sum_k (basis_om[b,o,aK+k] @ w)_c * (sel[b] @ x[b,:,o,c])
+    Returns float32 [B', P, TA, C]:
+      y[b,p,t,c] = sum_o Kf[o,p,c] * sum_k (basis[b,o,kTA+t] @ w)_c
+                                          * (sel[b] @ x[b,o])[kTA+t, c]
     """
-    return _fwd(basis_om, w, x, sel)
+    return _fwd(basis_om, w, x_om, sel, fiber_kernel)
 
 
-def _vjp_fwd(basis_om, w, x, sel):
-    return _fwd(basis_om, w, x, sel), (basis_om, w, x, sel)
+def _vjp_fwd(basis_om, w, x_om, sel, fiber_kernel):
+    return _fwd(basis_om, w, x_om, sel, fiber_kernel), (basis_om, w, x_om, sel, fiber_kernel)
 
 
 def _vjp_bwd(res, g):
-    basis_om, w, x, sel = res
-    dbasis, dw, dx = _bwd(basis_om, w, x, sel, g.astype(jnp.float32))
-    return dbasis, dw, dx, None
+    basis_om, w, x_om, sel, fiber_kernel = res
+    dbasis, dw, dx, dfk = _bwd(basis_om, w, x_om, sel, fiber_kernel, g)
+    return dbasis, dw, dx, None, dfk
 
 
-fused_spatial_conv.defvjp(_vjp_fwd, _vjp_bwd)
+fused_fiber_conv.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def reference_spatial_conv(basis, w, x, src, mask):
-    """Plain-XLA implementation with the standard [B, A, K, O, D] basis
-    layout (numerical oracle and non-TPU fallback)."""
+def reference_fiber_conv(basis, w, x, src, mask, fiber_kernel):
+    """Plain-XLA oracle with standard layouts.
+
+    basis: [B, A, K, O, D]; x: [B, A, O, C]; src/mask: [B, A, K];
+    fiber_kernel: [O, P, C] (pre-scaled). Returns [B, A, P, C] float32.
+    """
     kern = jnp.einsum("bakod,dc->bakoc", basis, w).astype(jnp.float32)
     B, A, K = src.shape
     idx = src.reshape(B, A * K)[:, :, None, None]
     x_j = jnp.take_along_axis(x, idx, axis=1).reshape(B, A, K, *x.shape[2:])
     msg = kern * x_j.astype(jnp.float32)
-    return jnp.where(mask[..., None, None], msg, 0.0).sum(axis=2)
-
-
-def fused_spatial_conv_standard_layout(basis, w, x, src, mask):
-    """Convenience wrapper taking the standard basis layout (transposes to
-    orientation-major and builds the gather matrix)."""
-    B, A, K, O, D = basis.shape
-    basis_om = basis.transpose(0, 3, 1, 2, 4).reshape(B, O, A * K, D)
-    sel = make_gather_matrix(src, mask, dtype=basis.dtype)
-    return fused_spatial_conv(basis_om, w, x, sel)
+    x_sp = jnp.where(mask[..., None, None], msg, 0.0).sum(axis=2)  # [B, A, O, C]
+    return jnp.einsum(
+        "baoc,opc->bapc", x_sp, fiber_kernel.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )

@@ -2,6 +2,7 @@
 dataset stats, MNIST data, sampler snapshots, 2D fiber bundle."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +78,7 @@ def test_egnn_equivariance():
     )
 
 
+@pytest.mark.slow
 def test_calibration_normalizes_activations():
     from arreau_tpu.models.calibrate import calibrate_conv_kernels
     from arreau_tpu.models.ponita import PonitaConfig, PonitaFiberBundle
@@ -130,6 +132,7 @@ def test_mnist_2d_model_runs():
     assert 0.0 <= float(metrics["accuracy"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_sampler_snapshots():
     from arreau_tpu.data.synthetic import make_synthetic_batch, synthetic_z_table
     from arreau_tpu.tasks.diffusion import CrystalBatch, DiffusionConfig, DiffusionModel

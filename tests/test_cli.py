@@ -23,6 +23,8 @@ TINY_TRAIN_ARGS = [
 ]
 
 
+pytestmark = pytest.mark.slow  # full-CLI integration runs
+
 @pytest.fixture(scope="module")
 def trained_ckpt(tmp_path_factory):
     from arreau_tpu.cli.train_diffusion import main

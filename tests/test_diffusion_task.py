@@ -67,6 +67,7 @@ def test_loss_fixed_timestep_deterministic_model():
     assert float(l1) == float(l2)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss():
     """Tiny overfit: 60 steps on one small batch should clearly reduce loss."""
     model = DiffusionModel(TINY, dtype=jnp.float64)
@@ -115,6 +116,7 @@ def test_sampler_constant_atoms():
     np.testing.assert_array_equal(np.asarray(out.atom_types), np.asarray(const))
 
 
+@pytest.mark.slow
 def test_data_parallel_step_8_devices():
     """Full train step sharded over the 8-device CPU mesh: replicated params,
     batch sharded on the crystal axis — matches what runs on a TPU slice."""

@@ -91,6 +91,7 @@ def test_padded_chunk_has_masked_examples():
             )
 
 
+@pytest.mark.slow
 def test_loss_excludes_padding_examples():
     """model.loss on [real crystals] vs [real crystals + sentinel padding]
     must agree on every component (same key: threefry draws for the leading

@@ -1,54 +1,99 @@
-"""Fused Pallas spatial-conv kernel: parity with the XLA oracle (interpret
+"""Fused Pallas fiber-conv kernel: parity with the XLA oracle (interpret
 mode on CPU; the same code compiles natively on TPU) and model-level parity
 of the use_pallas backbone path."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from arreau_tpu.ops.pallas_conv import (
-    fused_spatial_conv_standard_layout,
-    reference_spatial_conv,
+    fused_fiber_conv,
+    make_gather_matrix,
+    pick_tile,
+    reference_fiber_conv,
 )
 
 
-def _data(B=3, A=8, K=4, O=4, D=16, C=32, seed=0, dtype=jnp.float32):
+def _data(B=4, A=8, K=4, O=4, D=16, C=32, P=None, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
+    P = P or O
     basis = jnp.asarray(rng.normal(size=(B, A, K, O, D)), dtype)
     w = jnp.asarray(rng.normal(size=(D, C)) * 0.1, dtype)
     x = jnp.asarray(rng.normal(size=(B, A, O, C)), dtype)
     src = jnp.asarray(rng.integers(0, A, size=(B, A, K)), jnp.int32)
     mask = jnp.asarray(rng.random((B, A, K)) > 0.3)
-    return basis, w, x, src, mask
+    fk = jnp.asarray(rng.normal(size=(O, P, C)) * 0.3, dtype)
+    return basis, w, x, src, mask, fk
+
+
+def _to_kernel_layout(basis, x, src, mask, tile):
+    """Standard layouts -> the fused kernel's super-crystal layouts."""
+    B, A, K, O, D = basis.shape
+    Bp = B // tile
+    basis_om = basis.reshape(Bp, tile, A, K, O, D).transpose(0, 4, 3, 1, 2, 5)
+    basis_om = basis_om.reshape(Bp, O, K * tile * A, D)
+    x_om = x.reshape(Bp, tile, A, O, -1).transpose(0, 3, 1, 2, 4)
+    x_om = x_om.reshape(Bp, O, tile * A, x.shape[-1])
+    sel = make_gather_matrix(src, mask, dtype=basis.dtype, crystals_per_tile=tile)
+    return basis_om, x_om, sel
+
+
+def _from_kernel_layout(y, B, A, tile):
+    """[B', P, TA, C] -> [B, A, P, C]."""
+    Bp, P, TA, C = y.shape
+    return y.reshape(Bp, P, tile, A, C).transpose(0, 2, 3, 1, 4).reshape(B, A, P, C)
+
+
+def _run_fused(basis, w, x, src, mask, fk, tile):
+    B, A = basis.shape[0], basis.shape[1]
+    basis_om, x_om, sel = _to_kernel_layout(basis, x, src, mask, tile)
+    y = fused_fiber_conv(basis_om, w, x_om, sel, fk)
+    return _from_kernel_layout(y, B, A, tile)
 
 
 def test_fused_conv_forward_parity():
-    basis, w, x, src, mask = _data()
-    y_ref = reference_spatial_conv(basis, w, x, src, mask)
-    y_pal = fused_spatial_conv_standard_layout(basis, w, x, src, mask)
-    np.testing.assert_allclose(
-        np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=1e-6
-    )
+    basis, w, x, src, mask, fk = _data()
+    y_ref = reference_fiber_conv(basis, w, x, src, mask, fk)
+    for tile in (1, 2, 4):
+        y_pal = _run_fused(basis, w, x, src, mask, fk, tile)
+        np.testing.assert_allclose(
+            np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=1e-5,
+            err_msg=f"tile={tile}",
+        )
 
 
 def test_fused_conv_gradient_parity():
-    basis, w, x, src, mask = _data(seed=1)
+    basis, w, x, src, mask, fk = _data(seed=1)
 
-    def loss_p(basis, w, x):
-        return (fused_spatial_conv_standard_layout(basis, w, x, src, mask) ** 2).sum()
+    def loss_r(basis, w, x, fk):
+        return (reference_fiber_conv(basis, w, x, src, mask, fk) ** 2).sum()
 
-    def loss_r(basis, w, x):
-        return (reference_spatial_conv(basis, w, x, src, mask) ** 2).sum()
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(basis, w, x, fk)
+    for tile in (1, 2):
+        def loss_p(basis, w, x, fk, tile=tile):
+            return (_run_fused(basis, w, x, src, mask, fk, tile) ** 2).sum()
 
-    gp = jax.grad(loss_p, argnums=(0, 1, 2))(basis, w, x)
-    gr = jax.grad(loss_r, argnums=(0, 1, 2))(basis, w, x)
-    for a, b in zip(gp, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(basis, w, x, fk)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                err_msg=f"tile={tile}",
+            )
 
 
+def test_pick_tile():
+    assert pick_tile(256, 16) == 16
+    assert pick_tile(16, 256) == 1
+    assert pick_tile(170, 24) == 10  # largest divisor with T*24 <= 256
+    assert pick_tile(7, 8) == 7
+    assert pick_tile(1, 8) == 1
+
+
+@pytest.mark.slow
 def test_model_pallas_path_matches_xla_path():
     """PonitaFiberBundle with use_pallas=True (interpret mode on CPU) must
-    match the XLA path closely."""
+    match the XLA path closely (B=6, A=5 -> tile 6 exercises super-crystals)."""
     from arreau_tpu.models.ponita import PonitaConfig, PonitaFiberBundle
     from tests.test_ponita import _make_inputs
 
@@ -71,4 +116,44 @@ def test_model_pallas_path_matches_xla_path():
     )
     np.testing.assert_allclose(
         np.asarray(out_p.global_scalar), np.asarray(out_x.global_scalar), rtol=2e-4, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_model_pallas_gradients_match_xla_path():
+    """Full-model gradient parity between the fused-kernel path and XLA."""
+    from arreau_tpu.models.ponita import PonitaConfig, PonitaFiberBundle
+    from tests.test_ponita import _make_inputs
+
+    base = dict(
+        hidden_dim=8, basis_dim=8, degree=2, num_layers=2, radius=4.0,
+        num_ori=4, output_dim_scalar=2, output_dim_vec=1,
+        output_dim_global_scalar=1, output_dim_global_vec=0,
+        output_dim_edge_scalar=0, remat=False,
+    )
+    cfg_x = PonitaConfig(**base, use_pallas=False)
+    cfg_p = PonitaConfig(**base, use_pallas=True)
+    inputs, _ = _make_inputs(jax.random.PRNGKey(2), cfg=cfg_x, dtype=jnp.float32)
+    model_x = PonitaFiberBundle(cfg_x)
+    model_p = PonitaFiberBundle(cfg_p)
+    params = model_x.init(jax.random.PRNGKey(3), inputs)
+
+    def loss(model):
+        def f(p):
+            out = model.apply(p, inputs)
+            return (
+                (out.node_scalar**2).sum()
+                + (out.node_vec**2).sum()
+                + (out.global_scalar**2).sum()
+            )
+        return f
+
+    from jax.flatten_util import ravel_pytree
+
+    gx = jax.grad(loss(model_x))(params)
+    gp = jax.grad(loss(model_p))(params)
+    flat_x, _ = ravel_pytree(gx)
+    flat_p, _ = ravel_pytree(gp)
+    np.testing.assert_allclose(
+        np.asarray(flat_p), np.asarray(flat_x), rtol=5e-4, atol=1e-5
     )

@@ -4,6 +4,7 @@ learning smoke, and force consistency."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from arreau_tpu.data.molecules import dimenet_split, synthetic_molecules
 from arreau_tpu.models.point_cloud import (
@@ -37,6 +38,7 @@ def _inputs(key, B=2, N=6, F=3, lifted=True, dtype=jnp.float64):
     ), pos, mask
 
 
+@pytest.mark.slow
 def test_lifted_point_cloud_shapes_and_invariance():
     inputs, pos, mask = _inputs(jax.random.PRNGKey(0))
     model = PonitaPointCloud(CFG)
@@ -79,6 +81,7 @@ def test_plain_point_cloud_mode():
     assert np.isfinite(np.asarray(out.scalar)).all()
 
 
+@pytest.mark.slow
 def test_qm9_task_learns():
     data = synthetic_molecules(32, seed=0, max_atoms=6, min_atoms=4)
     shift, scale = float(np.mean(data.y)), float(np.std(data.y))
@@ -103,6 +106,7 @@ def test_qm9_task_learns():
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_md17_forces_are_negative_energy_gradient():
     data = synthetic_molecules(8, seed=1, max_atoms=5, min_atoms=5, with_forces=True)
     cfg = MD17Config(hidden_dim=16, basis_dim=8, degree=2, num_layers=2, max_neighbors=4)
@@ -126,6 +130,7 @@ def test_md17_forces_are_negative_energy_gradient():
     np.testing.assert_allclose(fd, float(force[0, 1, 2]), rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_md17_task_learns_forces():
     data = synthetic_molecules(16, seed=2, max_atoms=5, min_atoms=5, with_forces=True)
     shift = float(np.mean(data.y))
@@ -163,6 +168,7 @@ def test_dimenet_split_scales_down():
     assert len(np.unique(np.concatenate([tr, va, te]))) == 100
 
 
+@pytest.mark.slow
 def test_md17_forces_finite_with_padded_atoms():
     """Regression: masked neighbor slots must not produce NaN gradients when
     differentiating energies through the neighbor list (sqrt-at-zero)."""
