@@ -106,7 +106,7 @@ def build_datasets(args):
 def main(argv=None):
     args = parse_args(argv)
 
-    from arreau_tpu.utils import enable_compilation_cache
+    from arreau_tpu.utils import enable_compilation_cache, prefetch
 
     enable_compilation_cache()
 
@@ -114,7 +114,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from arreau_tpu.data.crystal import BucketedLoader
-    from arreau_tpu.parallel.mesh import make_mesh, shard_batch
+    from arreau_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed, shard_batch
     from arreau_tpu.tasks.diffusion import DiffusionConfig, DiffusionModel, rotate_batch
     from arreau_tpu.train.checkpoint import CheckpointManager, diffusion_meta
     from arreau_tpu.train.loop import make_eval_step, make_train_step
@@ -124,6 +124,10 @@ def main(argv=None):
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    # multi-host bring-up (no-op single-process); every host loads a disjoint
+    # stride of each globally-decided batch
+    host_index, num_hosts = maybe_initialize_distributed()
 
     dataset, splits, z_table, fixed_t = build_datasets(args)
     if args.dataset == "eval-equivariance":
@@ -147,7 +151,7 @@ def main(argv=None):
     model = DiffusionModel(cfg)
 
     mesh = make_mesh()
-    n_dev = len(jax.devices())
+    n_dev = len(jax.devices())  # global device count
     node_budget = args.batch_size * 16
     from arreau_tpu.data.crystal import DEFAULT_BUCKETS
 
@@ -162,6 +166,8 @@ def main(argv=None):
             buckets=buckets,
             seed=args.seed + i,
             batch_multiple=n_dev,
+            host_index=host_index,
+            num_hosts=num_hosts,
         )
         for i, (split, idx) in enumerate(splits.items())
     }
@@ -186,6 +192,17 @@ def main(argv=None):
 
     train_step = make_train_step(loss_fn, tx, mesh=mesh)
     eval_step = make_eval_step(loss_fn, mesh=mesh, use_ema=args.ema is not None)
+
+    def device_batches(split):
+        """Collate + transfer in a prefetch thread so the next batch is staged
+        on device while the current step runs (host/device overlap; the
+        round-1 loop was fully synchronous)."""
+
+        def gen():
+            for host in loaders[split]:
+                yield shard_batch(jax.tree.map(jnp.asarray, host), mesh)
+
+        return prefetch(gen(), depth=2)
 
     ckpt = CheckpointManager(args.checkpoint_dir, diffusion_meta(cfg, z_table))
     if args.resume and ckpt.has("last"):
@@ -215,8 +232,7 @@ def main(argv=None):
             jax.profiler.start_trace("profile_results")
             profiled = True
         train_metrics = MeanMetrics()
-        for batch in loaders["train"]:
-            batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+        for batch in device_batches("train"):
             key, k_rot, k_step = jax.random.split(key, 3)
             if args.train_augm:
                 batch = rotate_batch(k_rot, batch)
@@ -242,8 +258,7 @@ def main(argv=None):
 
         if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
             vm = MeanMetrics()
-            for batch in loaders["valid"]:
-                batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            for batch in device_batches("valid"):
                 key, k_eval = jax.random.split(key)
                 weighted_update(vm, eval_step(state, k_eval, batch))
             v = exact_loss(vm.compute())
@@ -264,8 +279,7 @@ def main(argv=None):
     if ckpt.has("best"):
         state = ckpt.restore(state, "best")
     tmets = MeanMetrics()
-    for batch in loaders["test"]:
-        batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+    for batch in device_batches("test"):
         key, k_eval = jax.random.split(key)
         weighted_update(tmets, eval_step(state, k_eval, batch))
     t = exact_loss(tmets.compute())

@@ -196,17 +196,21 @@ class BucketedLoader:
         host_index: int = 0,
         num_hosts: int = 1,
     ):
-        # multi-host data sharding: each host keeps a disjoint stride of the
-        # index set (the per-host half of the DP input pipeline; the device
-        # mesh handles the rest)
-        if num_hosts > 1:
-            indices = np.asarray(indices)[host_index::num_hosts]
+        # Multi-host SPMD contract: every host must execute the SAME sequence
+        # of compiled programs (bucket sizes) for the SAME number of steps, or
+        # the gradient collectives deadlock. So chunking decisions are made
+        # GLOBALLY from the shared seed over the full index set, and each host
+        # takes its stride slice of every global chunk (disjoint data, equal
+        # shapes). batch_multiple should be the GLOBAL device count.
+        assert 0 <= host_index < num_hosts
         self.dataset = dataset
         self.node_budget = node_budget
         self.buckets = tuple(buckets)
         self.dtype = dtype
-        self.batch_multiple = batch_multiple
+        self.batch_multiple = max(batch_multiple, num_hosts)
         self.drop_remainder = drop_remainder
+        self.host_index = host_index
+        self.num_hosts = num_hosts
         self._rng = np.random.default_rng(seed)
 
         num_atoms = dataset.packed.num_atoms
@@ -219,15 +223,19 @@ class BucketedLoader:
                 self.by_bucket[b] = np.asarray(lst, np.int64)
 
     def batch_size_for(self, bucket: int) -> int:
+        """GLOBAL batch size for a bucket (all hosts combined)."""
         bs = max(self.node_budget // bucket, 1)
-        if self.batch_multiple > 1:
-            bs = max((bs // self.batch_multiple) * self.batch_multiple, self.batch_multiple)
+        m = self.batch_multiple
+        if m > 1:
+            bs = max((bs // m) * m, m)
         return bs
 
-    def __iter__(self) -> Iterator[CrystalBatch]:
+    def _global_chunks(self) -> list[tuple[int, np.ndarray]]:
         chunks: list[tuple[int, np.ndarray]] = []
-        for bucket, idx in self.by_bucket.items():
-            perm = self._rng.permutation(idx)
+        for bucket in self.buckets:  # deterministic bucket order
+            if bucket not in self.by_bucket:
+                continue
+            perm = self._rng.permutation(self.by_bucket[bucket])
             bs = self.batch_size_for(bucket)
             for start in range(0, len(perm), bs):
                 chunk = perm[start : start + bs]
@@ -243,9 +251,12 @@ class BucketedLoader:
                     )
                 chunks.append((bucket, chunk))
         order = self._rng.permutation(len(chunks))
-        for i in order:
-            bucket, chunk = chunks[i]
-            yield pack_dense_batch(self.dataset, chunk, bucket, self.dtype)
+        return [chunks[i] for i in order]
+
+    def __iter__(self) -> Iterator[CrystalBatch]:
+        for bucket, chunk in self._global_chunks():
+            local = chunk[self.host_index :: self.num_hosts]
+            yield pack_dense_batch(self.dataset, local, bucket, self.dtype)
 
     def num_batches(self) -> int:
         total = 0

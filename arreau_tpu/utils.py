@@ -3,6 +3,45 @@
 from __future__ import annotations
 
 import os
+import queue
+import threading
+from typing import Iterable, Iterator, TypeVar
+
+_T = TypeVar("_T")
+
+
+def prefetch(iterable: Iterable[_T], depth: int = 2) -> Iterator[_T]:
+    """Host/device overlap: pull items from ``iterable`` in a background
+    thread, keeping up to ``depth`` ready ahead of the consumer.
+
+    The reference overlaps input work via DataLoader worker processes
+    (/root/reference/main_diffusion.py:221-230); here a single thread suffices
+    because the heavy collation is the C++ collator releasing the GIL and the
+    device transfer is async. Wrap an iterator whose __next__ does the
+    collate (+ optionally jax.device_put) so the next batch is staged while
+    the TPU runs the current step."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def enable_compilation_cache(path: str | None = None) -> None:

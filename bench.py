@@ -1,5 +1,6 @@
 """Benchmark: train steps/sec of the canonical crystal-diffusion config on the
-available accelerator. Prints ONE JSON line.
+available accelerator. Prints ONE JSON line on stdout (driver contract);
+details go to stderr / BENCH_DETAIL.json.
 
 Canonical config = the reference Makefile's train target
 (/root/reference/Makefile:6-7): T=1000, radius=5, max_neighbors=8,
@@ -13,25 +14,34 @@ Param accounting: the bench model is ~2.31M params — the same count the
 reference Makefile config implies (hidden=200; its 18 MB fp64 checkpoint =
 2.31M x 8 bytes). The reference README's "1.1M" corresponds to the argparse
 default hidden=128, not the Makefile train target; see BASELINE.md.
+
+Modes:
+  python bench.py            # canonical shape (driver headline)
+  python bench.py --sweep    # bucket ladder A in {16..256} at equal node
+                             # budget: steps/s + MFU per bucket
+  python bench.py --loader   # real input pipeline in the loop (collate +
+                             # transfer overlap) instead of one cached batch
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 REF_STEPS_PER_SEC = 8.6
-BATCH = 256  # dense bucket: 256 crystals x up to 16 atoms (~ reference batch 270)
-MAX_ATOMS = 16
+NODE_BUDGET = 4096  # 256 crystals x 16 atoms at the canonical bucket
+CANONICAL = (256, 16)
+SWEEP = [(256, 16), (128, 32), (64, 64), (32, 128), (16, 256)]
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
+# peak MXU rate used for MFU: TPU v5e ~197 TFLOP/s bf16 (override for other
+# chips with --peak_tflops)
+PEAK_TFLOPS_BF16 = 197.0
 
 
-def main():
-    from arreau_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
-
+def build(batch_size: int, max_atoms: int):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,7 +57,7 @@ def main():
     model = DiffusionModel(cfg)
 
     rng = np.random.default_rng(0)
-    host = make_synthetic_batch(rng, z_table, BATCH, MAX_ATOMS)
+    host = make_synthetic_batch(rng, z_table, batch_size, max_atoms)
     batch = CrystalBatch(
         frac_x=jnp.asarray(host.frac_x),
         atom_types=jnp.asarray(host.atom_types),
@@ -55,12 +65,16 @@ def main():
         num_atoms=jnp.asarray(host.num_atoms),
         atom_mask=jnp.asarray(host.atom_mask),
     )
-
     params = model.init(jax.random.PRNGKey(0), batch)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     tx = make_optimizer(3e-4)
     state = create_train_state(params, tx, ema_decay=None)
     step = make_train_step(model.loss, tx, donate=True)
+    return model, state, step, batch, n_params
+
+
+def measure(step, state, batch, flops_per_step=None, peak_tflops=PEAK_TFLOPS_BF16):
+    import jax
 
     key = jax.random.PRNGKey(1)
     for _ in range(WARMUP_STEPS):
@@ -74,15 +88,110 @@ def main():
         state, metrics = step(state, sub, batch)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
+    sps = MEASURE_STEPS / dt
+    out = {"steps_per_sec": round(sps, 3), "ms_per_step": round(1000 * dt / MEASURE_STEPS, 2)}
+    if flops_per_step:
+        out["mfu"] = round(sps * flops_per_step / (peak_tflops * 1e12), 4)
+        out["tflops_per_step"] = round(flops_per_step / 1e12, 3)
+    return out, state
 
-    steps_per_sec = MEASURE_STEPS / dt
+
+def step_flops(step, state, batch):
+    """XLA's own flop estimate for the compiled train step."""
+    import jax
+
+    try:
+        compiled = step.lower(state, jax.random.PRNGKey(1), batch).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_one(batch_size, max_atoms, peak_tflops, want_flops=True):
+    model, state, step, batch, n_params = build(batch_size, max_atoms)
+    flops = step_flops(step, state, batch) if want_flops else None
+    res, _ = measure(step, state, batch, flops, peak_tflops)
+    res.update({"batch": batch_size, "max_atoms": max_atoms, "params_m": round(n_params / 1e6, 2)})
+    return res
+
+
+def bench_loader(peak_tflops):
+    """Canonical shape with the real input pipeline in the loop: bucketed
+    loader -> C++ collate -> device transfer -> step (prefetched)."""
+    import jax
+
+    from arreau_tpu.data.crystal import BucketedLoader
+    from arreau_tpu.data.synthetic import synthetic_packed
+    from arreau_tpu.utils import prefetch
+
+    model, state, step, batch, n_params = build(*CANONICAL)
+    ds = synthetic_packed(6000, seed=0, max_atoms=16, min_atoms=4)
+    import numpy as np
+
+    loader = BucketedLoader(
+        ds, np.arange(len(ds)), node_budget=NODE_BUDGET, buckets=(16,), seed=0
+    )
+
+    def device_batches():
+        for host in loader:
+            yield jax.tree.map(jax.device_put, host)
+
+    key = jax.random.PRNGKey(1)
+    # warmup epoch (compile + cache)
+    for db in prefetch(device_batches(), depth=2):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub, db)
+    jax.block_until_ready(metrics["loss"])
+
+    n = 0
+    t0 = time.perf_counter()
+    for db in prefetch(device_batches(), depth=2):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub, db)
+        n += 1
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return {"steps_per_sec": round(n / dt, 3), "steps": n, "mode": "loader-in-loop"}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sweep", action="store_true")
+    p.add_argument("--loader", action="store_true")
+    p.add_argument("--peak_tflops", type=float, default=PEAK_TFLOPS_BF16)
+    args = p.parse_args()
+
+    from arreau_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    detail = {}
+    if args.sweep:
+        detail["sweep"] = []
+        for bs, a in SWEEP:
+            r = bench_one(bs, a, args.peak_tflops)
+            detail["sweep"].append(r)
+            print(f"bucket A={a:4d} B={bs:4d}: {r}", file=sys.stderr, flush=True)
+    if args.loader:
+        detail["loader"] = bench_loader(args.peak_tflops)
+        print(f"loader-in-loop: {detail['loader']}", file=sys.stderr, flush=True)
+
+    head = bench_one(*CANONICAL, args.peak_tflops)
+    detail["canonical"] = head
+    if args.sweep or args.loader:
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=2)
+
     print(
         json.dumps(
             {
-                "metric": f"diffusion train steps/sec (batch {BATCH}x{MAX_ATOMS}, {n_params/1e6:.2f}M params)",
-                "value": round(steps_per_sec, 3),
+                "metric": f"diffusion train steps/sec (batch {CANONICAL[0]}x{CANONICAL[1]}, {head['params_m']}M params)",
+                "value": head["steps_per_sec"],
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
+                "vs_baseline": round(head["steps_per_sec"] / REF_STEPS_PER_SEC, 3),
             }
         )
     )
