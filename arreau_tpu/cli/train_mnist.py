@@ -51,7 +51,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from arreau_tpu.data.mnist import load_mnist_idx, synthetic_shapes
+    from arreau_tpu.data.mnist import load_mnist_superpixels, synthetic_superpixels
     from arreau_tpu.parallel.mesh import make_mesh, shard_batch
     from arreau_tpu.tasks.mnist import Mnist2DBatch, MnistConfig, MnistModel, rotate_mnist_batch
     from arreau_tpu.train.checkpoint import CheckpointManager
@@ -61,16 +61,15 @@ def main(argv=None):
     from arreau_tpu.train.state import create_train_state
 
     if args.data_dir:
-        train_data = load_mnist_idx(args.data_dir, "train", args.num_nodes)
-        test_data = load_mnist_idx(args.data_dir, "test", args.num_nodes)
+        train_data = load_mnist_superpixels(args.data_dir, "train", args.num_nodes)
+        test_data = load_mnist_superpixels(args.data_dir, "test", args.num_nodes)
         n_val = len(test_data) // 2
-        val_data = test_data[:0]  # placeholder, use slices below
         data = {"train": train_data,
                 "valid": type(test_data)(*(a[:n_val] for a in test_data)),
                 "test": type(test_data)(*(a[n_val:] for a in test_data))}
     else:
-        print("no --data_dir given; using synthetic 2D shape classes")
-        full = synthetic_shapes(args.synthetic_size, seed=args.seed, num_nodes=min(args.num_nodes, 32))
+        print("no --data_dir given; using synthetic stroke images -> SLIC superpixels")
+        full = synthetic_superpixels(args.synthetic_size, seed=args.seed, num_nodes=args.num_nodes)
         n = len(full)
         cut1, cut2 = int(n * 0.8), int(n * 0.9)
         data = {"train": type(full)(*(a[:cut1] for a in full)),

@@ -158,3 +158,29 @@ def test_sampler_snapshots():
     )
     # snapshot trajectory actually changes over time
     assert not np.allclose(np.asarray(snaps[0][1].frac_x), np.asarray(final.frac_x))
+
+
+def test_slic_superpixels_properties():
+    """SLIC: centroids cover the image, intensities in [0,1], sparsify+dedup
+    pipeline yields masked variable-size clouds."""
+    import numpy as np
+
+    from arreau_tpu.data.mnist import slic_superpixels, superpixel_examples, synthetic_digit_images
+
+    imgs, labels = synthetic_digit_images(6, seed=3)
+    pos, val = slic_superpixels(imgs[0], n_segments=75)
+    assert 50 <= len(pos) <= 81
+    assert (val >= 0).all() and (val <= 1).all()
+    assert pos[:, 0].min() >= 0 and pos[:, 0].max() <= 27
+    # bright superpixels should sit on the strokes: their sampled intensity is high
+    ex = superpixel_examples(imgs, labels, num_nodes=75)
+    n = ex.mask.sum(1)
+    assert (n >= 3).all() and (n <= 75).all()
+    # all kept nodes are bright (sparsify) and pairwise distinct (dedup)
+    for s in range(len(imgs)):
+        p = ex.pos[s][ex.mask[s]]
+        assert (ex.value[s][ex.mask[s]] > 0.5).all()
+        if len(p) > 1:
+            d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+            np.fill_diagonal(d, 1.0)
+            assert d.min() > 0
