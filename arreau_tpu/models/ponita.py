@@ -213,6 +213,12 @@ class PonitaFiberBundle(nn.Module):
         else:
             window = polynomial_cutoff(dists, cfg.radius)[..., None, None]
 
+        # cast attrs to the compute dtype BEFORE the polynomial expansion: the
+        # degree-3 features blow input dim 6 -> 258, so the expanded tensor is
+        # the largest non-parameter intermediate — halving it halves basis-MLP
+        # HBM traffic in both autodiff directions
+        if cdtype is not None:
+            attr = attr.astype(cdtype)
         kernel_basis = (
             BasisMLP(cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="basis_fn")(attr)
             * window.astype(cdtype or window.dtype)
