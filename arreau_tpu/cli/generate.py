@@ -37,6 +37,12 @@ def parse_args(argv=None):
         help="comma-separated element symbols to pin atom types (e.g. 'C,C,C,C')",
     )
     p.add_argument(
+        "--clip_denoised", type=eval, default=True,
+        help="clamp the sampler's lattice-length x0-prediction to the training "
+        "envelope stored in the checkpoint (standard DDPM clip_denoised; "
+        "False = strict reference semantics)",
+    )
+    p.add_argument(
         "--quality_ref",
         type=str,
         default=None,
@@ -77,7 +83,7 @@ def quality_from_results(result, z_table, quality_ref: str) -> dict:
     )
 
 
-def load_model(checkpoint_dir: str, tag: str, use_ema: bool):
+def load_model(checkpoint_dir: str, tag: str, use_ema: bool, return_meta: bool = False):
     """Rebuild model + params from a self-describing checkpoint."""
     import jax
     import jax.numpy as jnp
@@ -99,7 +105,20 @@ def load_model(checkpoint_dir: str, tag: str, use_ema: bool):
         params_tree, ema_tree = raw["params"], raw.get("ema_params")
     params = ema_tree if (use_ema and ema_tree is not None) else params_tree
     params = jax.tree.map(jnp.asarray, params)
+    if return_meta:
+        return model, params, z_table, meta
     return model, params, z_table
+
+
+def length_bounds_from_meta(meta: dict):
+    """Training-envelope clamp for the lattice-length x0-prediction, widened
+    by half the data range on each side so only off-manifold runaway is cut."""
+    stats = meta.get("length_stats")
+    if not stats:
+        return None
+    lo, hi = stats["min"], stats["max"]
+    margin = 0.5 * max(hi - lo, 1.0)
+    return (lo - margin, hi + margin)
 
 
 def main(argv=None):
@@ -113,7 +132,12 @@ def main(argv=None):
 
     from arreau_tpu.inference.io import concat_results, from_dense_batch, save_sample_results
 
-    model, params, z_table = load_model(args.checkpoint_dir, args.tag, args.use_ema)
+    model, params, z_table, meta = load_model(
+        args.checkpoint_dir, args.tag, args.use_ema, return_meta=True
+    )
+    length_bounds = length_bounds_from_meta(meta) if args.clip_denoised else None
+    if args.clip_denoised and length_bounds is None:
+        print("checkpoint has no length_stats; clip_denoised disabled")
 
     constant_atoms = None
     if args.constant_atomic_symbols:
@@ -134,6 +158,7 @@ def main(argv=None):
             num_samples=args.batch_size,
             num_atoms_per_sample=args.num_atoms_per_sample,
             constant_atoms=constant_atoms,
+            length_bounds=length_bounds,
         )
     )
     results = []
@@ -150,6 +175,7 @@ def main(argv=None):
                 num_atoms_per_sample=args.num_atoms_per_sample,
                 constant_atoms=constant_atoms,
                 snapshot_every=args.snapshot_every,
+                length_bounds=length_bounds,
             )
         else:
             batch_out = sample_jit(params, sub)

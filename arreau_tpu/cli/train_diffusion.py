@@ -204,7 +204,16 @@ def main(argv=None):
 
         return prefetch(gen(), depth=2)
 
-    ckpt = CheckpointManager(args.checkpoint_dir, diffusion_meta(cfg, z_table))
+    # training lattice-length envelope -> checkpoint meta (generation's
+    # clip_denoised stabilizer reads it; see DiffusionModel.sample)
+    train_lengths = np.linalg.norm(
+        dataset.packed.lattices[np.asarray(splits["train"], int)], axis=-1
+    )
+    length_stats = {
+        "min": train_lengths.min(), "max": train_lengths.max(),
+        "mean": train_lengths.mean(), "std": train_lengths.std(),
+    }
+    ckpt = CheckpointManager(args.checkpoint_dir, diffusion_meta(cfg, z_table, length_stats))
     if args.resume and ckpt.has("last"):
         state = ckpt.restore(state, "last")
         print(f"resumed from {ckpt.path('last')} at step {int(state.step)}")

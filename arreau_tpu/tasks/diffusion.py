@@ -335,6 +335,7 @@ class DiffusionModel:
         constant_atoms: Optional[jax.Array] = None,
         lattice_type: str = "monoclinic",
         snapshot_every: Optional[int] = None,
+        length_bounds: Optional[tuple[float, float]] = None,
     ) -> CrystalBatch:
         """Full reverse diffusion as one jit-compiled ``lax.fori_loop``
         (reference ``DiffusionLoss.sample``, diffusion_loss.py:276-377).
@@ -343,6 +344,16 @@ class DiffusionModel:
         z-table indices; decode with the z-table on the host). With
         ``snapshot_every`` set, returns ``(batch, [(timestep, batch), ...])``
         with intermediate states for visualization.
+
+        ``length_bounds``: optional (lo, hi) clamp on the x0-prediction of
+        the lattice lengths — the standard DDPM ``clip_denoised`` stabilizer.
+        Lattice lengths are unbounded chain state AND model input features,
+        so an imperfect model can enter a positive feedback loop (state
+        drifts off the training marginal -> OOD prediction -> larger state;
+        observed as the round-1 44-angstrom drift). Clamping pred_x0 to the
+        training-data envelope breaks the loop without touching on-manifold
+        trajectories. The reference has no such guard (its failure mode is
+        unmeasured); pass None for strict reference semantics.
         """
         cfg = self.config
         B, A = num_samples, num_atoms_per_sample
@@ -371,6 +382,10 @@ class DiffusionModel:
                 params, frac, types_onehot, t, num_atoms, lengths, angles, atom_mask
             )
             pred_lengths_scaled = pred_lengths * num_atoms.astype(self.dtype)[:, None]
+            if length_bounds is not None:
+                pred_lengths_scaled = jnp.clip(
+                    pred_lengths_scaled, length_bounds[0], length_bounds[1]
+                )
             lengths = vp_reverse_given_x0(self.vp, k_lat, lengths, pred_lengths_scaled, t)
             frac = ve_reverse_step(self.ve, k_pos, frac, pred_eps, t)
             types = d3pm_reverse_step(self.d3pm, k_type, types, pred_type_logits, t_atom)

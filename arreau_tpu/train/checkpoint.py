@@ -105,7 +105,14 @@ class CheckpointManager:
         return True
 
 
-def diffusion_meta(config, z_table) -> dict:
+def diffusion_meta(config, z_table, length_stats: Optional[dict] = None) -> dict:
     """Self-describing metadata for diffusion checkpoints (config + z-table,
-    like the reference's ``z_table_zs`` buffer + ``save_hyperparameters``)."""
-    return {"config": asdict(config), "z_table_zs": list(map(int, z_table.zs))}
+    like the reference's ``z_table_zs`` buffer + ``save_hyperparameters``).
+
+    ``length_stats`` ({min, max, mean, std} of training lattice lengths)
+    rides along so generation can apply the clip_denoised stabilizer without
+    access to the training data."""
+    meta = {"config": asdict(config), "z_table_zs": list(map(int, z_table.zs))}
+    if length_stats is not None:
+        meta["length_stats"] = {k: float(v) for k, v in length_stats.items()}
+    return meta

@@ -10,6 +10,8 @@ while kill -0 "$1" 2>/dev/null; do sleep 30; done
 
 python -u out/r2/tpu_verify_kernel.py > out/r2/pallas_parity.log 2>&1
 
+python -u out/r2/patch_meta.py > out/r2/patch_meta.log 2>&1
+
 python -u bench.py > out/r2/bench_r2.log 2>&1
 
 python -u -m arreau_tpu.cli.generate \
@@ -17,6 +19,13 @@ python -u -m arreau_tpu.cli.generate \
   --num_crystals=200 --batch_size=100 --num_atoms_per_sample=8 \
   --out_dir=out/r2 --quality_ref=synthetic:20000:0 \
   > out/r2/quality_run.log 2>&1
+
+python -u -m arreau_tpu.cli.generate \
+  --checkpoint_dir=out/r2/ckpt_conv --tag=best --use_ema=False \
+  --num_crystals=200 --batch_size=100 --num_atoms_per_sample=8 \
+  --clip_denoised=False \
+  --out_dir=out/r2/noclip --quality_ref=synthetic:20000:0 \
+  > out/r2/quality_run_noclip.log 2>&1
 
 python -u -m arreau_tpu.exploration.diagnose_sampler \
   --checkpoint_dir=out/r2/ckpt_conv --tag=best --ref=synthetic:20000:0 \

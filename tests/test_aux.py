@@ -184,3 +184,32 @@ def test_slic_superpixels_properties():
             d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
             np.fill_diagonal(d, 1.0)
             assert d.min() > 0
+
+
+def test_checkpoint_ranked_retention(tmp_path):
+    """Top-3 retention by score + persisted best across manager restarts
+    (reference ModelCheckpoint save_top_k=3 semantics)."""
+    import jax.numpy as jnp
+
+    from arreau_tpu.train.checkpoint import CheckpointManager
+    from arreau_tpu.train.optim import make_optimizer
+    from arreau_tpu.train.state import create_train_state
+
+    tx = make_optimizer(1e-3)
+    state = create_train_state({"w": jnp.ones((2,))}, tx)
+    ck = CheckpointManager(str(tmp_path))
+
+    assert ck.save_ranked(state, 5.0, step=1)
+    assert ck.save_ranked(state, 3.0, step=2)
+    assert ck.save_ranked(state, 4.0, step=3)
+    assert not ck.save_ranked(state, 9.0, step=4)  # worse than all three
+    assert ck.save_ranked(state, 1.0, step=5)  # new best, evicts 5.0
+    ranked = ck.load_scores()["ranked"]
+    assert [s for s, _ in ranked] == [1.0, 3.0, 4.0]
+    assert ck.has("best") and ck.has("best-5") and not ck.has("best-1")
+    assert ck.best_score() == 1.0
+    # a fresh manager over the same dir sees the persisted best (resume path)
+    ck2 = CheckpointManager(str(tmp_path))
+    assert ck2.best_score() == 1.0
+    restored = ck2.restore(state, "best")
+    assert float(restored.params["w"][0]) == 1.0
