@@ -107,6 +107,7 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
                 dbasis_ref, dwp_ref, dx_ref, dfk_ref):
     o = pl.program_id(1)
     TA, C = x_ref.shape[2], x_ref.shape[3]
+    D = basis_ref.shape[3]
     P = fk_ref.shape[1]
     f32 = jnp.float32
 
@@ -135,7 +136,7 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
 
     # chain into the spatial conv: per k row-block (g_rows[e] = g_o[receiver])
     w32_t = w.astype(f32).T  # [C, D]
-    dw_acc = jnp.zeros_like(dwp_ref[0])
+    dw_acc = jnp.zeros((D, C), f32)
     for k in range(K):
         sl = slice(k * TA, (k + 1) * TA)
         gx_k = g_o * x_j[sl]  # [TA, C]
