@@ -89,16 +89,18 @@ def _fwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, y_ref):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    sel = sel_ref[0]  # [E, TA]
+    x_o = x_ref[0, 0]  # [TA, C]
     # f32 operands need HIGHEST to avoid bf16 rounding on the MXU; bf16
     # operands reject it (the one-hot gather is exact in bf16 anyway).
-    hi = HI if sel.dtype == f32 else None
-    kern = jnp.dot(basis_ref[0, 0], w_ref[:], preferred_element_type=f32)  # [E, C]
-    x_j = jnp.dot(sel, x_ref[0, 0], preferred_element_type=f32, precision=hi)  # [E, C]
-    msg = kern * x_j
-    x_sp = msg[0:TA]
-    for k in range(1, K):
-        x_sp = x_sp + msg[k * TA : (k + 1) * TA]  # [TA, C]
+    hi = HI if sel_ref.dtype == f32 else None
+    # process the K neighbor slots as row blocks: only [TA, C] temporaries are
+    # ever live (whole-E temps blew the 16 MB scoped-VMEM budget at TA=256)
+    x_sp = jnp.zeros((TA, C), f32)
+    for k in range(K):
+        sl = slice(k * TA, (k + 1) * TA)
+        kern_k = jnp.dot(basis_ref[0, 0, sl, :], w_ref[:], preferred_element_type=f32)
+        xj_k = jnp.dot(sel_ref[0, sl, :], x_o, preferred_element_type=f32, precision=hi)
+        x_sp = x_sp + kern_k * xj_k
     for p in range(P):
         y_ref[0, p] += x_sp * fk_ref[o, p][None, :].astype(f32)
 
@@ -115,17 +117,19 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
     def _():
         dwp_ref[:] = jnp.zeros_like(dwp_ref)
 
-    sel = sel_ref[0]  # [E, TA]
-    hi = HI if sel.dtype == f32 else None
+    hi = HI if sel_ref.dtype == f32 else None
     w = w_ref[:]
+    x_o = x_ref[0, 0]  # [TA, C]
 
-    # recompute forward intermediates for this orientation
-    kern = jnp.dot(basis_ref[0, 0], w, preferred_element_type=f32)  # [E, C]
-    x_j = jnp.dot(sel, x_ref[0, 0], preferred_element_type=f32, precision=hi)
-    msg = kern * x_j
-    x_sp = msg[0:TA]
-    for k in range(1, K):
-        x_sp = x_sp + msg[k * TA : (k + 1) * TA]
+    # pass 1: recompute x_sp for this orientation, K row-blocks at a time
+    # (only [TA, C] temporaries live — whole-E temps blew the 16 MB scoped
+    # VMEM budget at TA=256)
+    x_sp = jnp.zeros((TA, C), f32)
+    for k in range(K):
+        sl = slice(k * TA, (k + 1) * TA)
+        kern_k = jnp.dot(basis_ref[0, 0, sl, :], w, preferred_element_type=f32)
+        xj_k = jnp.dot(sel_ref[0, sl, :], x_o, preferred_element_type=f32, precision=hi)
+        x_sp = x_sp + kern_k * xj_k
 
     # dL/d(x_sp) for this o, and dL/d(fiber kernel) partial for this (b', o)
     g_o = jnp.zeros((TA, C), f32)
@@ -134,25 +138,28 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
         g_o = g_o + g_p * fk_ref[o, p][None, :].astype(f32)
         dfk_ref[0, 0, p] = jnp.sum(x_sp * g_p, axis=0)
 
-    # chain into the spatial conv: per k row-block (g_rows[e] = g_o[receiver])
+    # pass 2: chain into the spatial conv, recomputing kern_k/xj_k per block
+    # (g_rows[e] = g_o[receiver] is an implicit broadcast across the K blocks)
     w32_t = w.astype(f32).T  # [C, D]
     dw_acc = jnp.zeros((D, C), f32)
+    dx = jnp.zeros((TA, C), f32)
     for k in range(K):
         sl = slice(k * TA, (k + 1) * TA)
-        gx_k = g_o * x_j[sl]  # [TA, C]
+        basis_k = basis_ref[0, 0, sl, :]
+        sel_k = sel_ref[0, sl, :]
+        kern_k = jnp.dot(basis_k, w, preferred_element_type=f32)
+        xj_k = jnp.dot(sel_k, x_o, preferred_element_type=f32, precision=hi)
+        gx_k = g_o * xj_k  # [TA, C]
         dbasis_ref[0, 0, sl, :] = jnp.dot(
             gx_k, w32_t, preferred_element_type=f32
         ).astype(dbasis_ref.dtype)
         dw_acc = dw_acc + jnp.dot(
-            basis_ref[0, 0, sl, :].astype(f32).T, gx_k, preferred_element_type=f32,
-            precision=HI,
+            basis_k.astype(f32).T, gx_k, preferred_element_type=f32, precision=HI
         )
-        dxc_k = kern[sl] * g_o  # [TA, C]
-        sel_k_t = sel[sl].astype(f32).T  # [TA(senders), TA(receivers)]
-        if k == 0:
-            dx = jnp.dot(sel_k_t, dxc_k, preferred_element_type=f32, precision=HI)
-        else:
-            dx = dx + jnp.dot(sel_k_t, dxc_k, preferred_element_type=f32, precision=HI)
+        dxc_k = kern_k * g_o  # [TA, C]
+        dx = dx + jnp.dot(
+            sel_k.astype(f32).T, dxc_k, preferred_element_type=f32, precision=HI
+        )
     dwp_ref[:] += dw_acc[None]
     dx_ref[0, 0] = dx.astype(dx_ref.dtype)
 
@@ -160,6 +167,16 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
 def _interpret() -> bool:
     # interpreter mode off-TPU (CPU tests / dry runs)
     return jax.default_backend() != "tpu"
+
+
+# The b' (super-crystal) grid axis is embarrassingly parallel; the o axis is
+# sequential (y/dW accumulate across it). The double-buffered block set at
+# TA=256 exceeds Mosaic's conservative 16 MB scoped-VMEM default, so raise
+# the limit toward the v5e's physical 128 MiB.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
 
 
 def _fwd(basis_om, w, x_om, sel, fiber_kernel):
@@ -182,6 +199,7 @@ def _fwd(basis_om, w, x_om, sel, fiber_kernel):
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, P, TA, C), jnp.float32),
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
     )(sel, basis_om, w, x_om, fiber_kernel)
 
 
@@ -215,6 +233,7 @@ def _bwd(basis_om, w, x_om, sel, fiber_kernel, g):
             jax.ShapeDtypeStruct((Bp, O, P, C), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
     )(sel, basis_om, w, x_om, fiber_kernel, g.astype(jnp.float32))
     dw = dwp.sum(axis=0).astype(w.dtype)
     dfk = dfkp.sum(axis=0).astype(fiber_kernel.dtype)
