@@ -80,7 +80,7 @@ def quality_from_results(result, z_table, quality_ref: str) -> dict:
         ref_angles=ref["angles"],
         num_types=len(z_table),
         ref_type_mi=ref["type_mi"],
-    )
+    ) | {"ref_min_dist_violation_rate": ref["min_dist_violation_rate"]}
 
 
 def load_model(checkpoint_dir: str, tag: str, use_ema: bool, return_meta: bool = False):

@@ -92,7 +92,7 @@ def main(argv=None):
         t = jnp.full((B,), t_scalar, jnp.int32)
         t_atom = jnp.broadcast_to(t[:, None], (B, A))
         k_lat, k_pos, k_type = jax.random.split(key, 3)
-        onehot = jax.nn.one_hot(types, cfg.num_atomic_states, jnp.float32)
+        onehot = jax.nn.one_hot(types, cfg.num_atomic_states, dtype=jnp.float32)
         pred_eps, pred_logits, pred_lengths = model.predict_scores(
             params, frac, onehot, t, num_atoms, lengths, angles, atom_mask
         )

@@ -147,13 +147,25 @@ def quality_report(
     return report
 
 
-def dataset_reference_stats(packed, type_indices: np.ndarray, num_types: int) -> dict:
-    """Reference statistics from a PackedCrystals training set."""
+def dataset_reference_stats(
+    packed, type_indices: np.ndarray, num_types: int, violation_sample: int = 500
+) -> dict:
+    """Reference statistics from a PackedCrystals training set (violation rate
+    measured on a subsample — it is O(n^2 * 27) per crystal)."""
     lengths, angles = lattice_params_np(packed.lattices)
+    n = len(packed.lattices)
+    idx = np.linspace(0, n - 1, min(violation_sample, n)).astype(int)
+    viol = min_distance_violation_rate(
+        packed.frac_coords,
+        packed.lattices[idx],
+        packed.offsets[idx],
+        np.diff(packed.offsets)[idx],
+    )
     return {
         "lengths": lengths,
         "angles": angles,
         "type_mi": type_geometry_mutual_info(
             type_indices, packed.frac_coords[:, 2], num_types
         ),
+        "min_dist_violation_rate": viol,
     }

@@ -101,6 +101,11 @@ class FiberBundleConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False  # fused TPU kernel (no per-edge HBM tensors)
     return_messages: bool = True
+    # with use_pallas: also fold the fiber mixing into the kernel. Measured on
+    # v5e (out/r2/kernel_microbench.json): fused fwd is fastest but its bwd
+    # (two K passes + in-kernel dfk) loses more than the fwd gains — the
+    # split spatial-kernel + XLA einsum is ~13% faster per layer fwd+bwd.
+    fuse_fiber: bool = False
 
     @nn.compact
     def __call__(
@@ -128,17 +133,31 @@ class FiberBundleConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
 
         if self.use_pallas and not self.return_messages:
-            from arreau_tpu.ops.pallas_conv import fused_fiber_conv
+            from arreau_tpu.ops.pallas_conv import fused_fiber_conv, fused_spatial_conv
 
-            # One fused kernel: spatial conv + K-reduce + fiber mixing, all
-            # VMEM-resident per super-crystal (x already [B', O, TA, C]).
-            y = fused_fiber_conv(
-                kernel_basis.astype(w.dtype),
-                w,
-                x.astype(w.dtype),
-                edge_mask,
-                fiber_kernel / num_ori,
-            )  # [B', P, TA, C] f32 — already orientation-major for the next layer
+            if self.fuse_fiber:
+                # One fused kernel: spatial conv + K-reduce + fiber mixing,
+                # all VMEM-resident per super-crystal (x is [B', O, TA, C]).
+                y = fused_fiber_conv(
+                    kernel_basis.astype(w.dtype),
+                    w,
+                    x.astype(w.dtype),
+                    edge_mask,
+                    fiber_kernel / num_ori,
+                )  # [B', P, TA, C] f32 — orientation-major for the next layer
+            else:
+                x_sp = fused_spatial_conv(
+                    kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask
+                )  # [B', O, TA, C] f32
+                y = (
+                    jnp.einsum(
+                        "botc,opc->bptc",
+                        x_sp.astype(w.dtype),
+                        fiber_kernel,
+                        preferred_element_type=jnp.float32,
+                    )
+                    / num_ori
+                )
             return y + bias, None
         kernel = jnp.einsum(
             "bakod,dc->bakoc", kernel_basis.astype(w.dtype), w
@@ -174,6 +193,7 @@ class ConvNextBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     return_messages: bool = True
+    fuse_fiber: bool = False
 
     @nn.compact
     def __call__(self, x, kernel_basis, fiber_kernel_basis, src, edge_mask):
@@ -181,6 +201,7 @@ class ConvNextBlock(nn.Module):
         x, messages = FiberBundleConv(
             self.channels, expected_degree=self.expected_degree, dtype=self.dtype,
             use_pallas=self.use_pallas, return_messages=self.return_messages,
+            fuse_fiber=self.fuse_fiber,
             name="conv",
         )(x, kernel_basis, fiber_kernel_basis, src, edge_mask)
         # LayerNorm stays in f32 for numerically stable statistics

@@ -71,6 +71,9 @@ class PonitaConfig:
     # fused Pallas spatial conv: None = auto (on when running on TPU and no
     # edge readouts are configured), True/False = force.
     use_pallas: Optional[bool] = None
+    # fold the fiber mixing into the Pallas kernel too (measured slower on
+    # v5e than the split kernel + XLA einsum — see blocks.FiberBundleConv)
+    fuse_fiber: bool = False
 
 
 class FiberBundleInputs(NamedTuple):
@@ -257,6 +260,7 @@ class PonitaFiberBundle(nn.Module):
                 dtype=cdtype,
                 use_pallas=use_pallas,
                 return_messages=need_messages,
+                fuse_fiber=cfg.fuse_fiber,
                 name=f"layer_{i}",
             )(x, kernel_basis, fiber_kernel_basis, conv_src, conv_mask)
             if cfg.multiple_readouts or i == cfg.num_layers - 1:

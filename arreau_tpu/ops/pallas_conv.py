@@ -117,9 +117,9 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
     def _():
         dwp_ref[:] = jnp.zeros_like(dwp_ref)
 
-    hi = HI if sel_ref.dtype == f32 else None
     w = w_ref[:]
     x_o = x_ref[0, 0]  # [TA, C]
+    bdt = basis_ref.dtype
 
     # pass 1: recompute x_sp for this orientation, K row-blocks at a time
     # (only [TA, C] temporaries live — whole-E temps blew the 16 MB scoped
@@ -128,7 +128,7 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
     for k in range(K):
         sl = slice(k * TA, (k + 1) * TA)
         kern_k = jnp.dot(basis_ref[0, 0, sl, :], w, preferred_element_type=f32)
-        xj_k = jnp.dot(sel_ref[0, sl, :], x_o, preferred_element_type=f32, precision=hi)
+        xj_k = jnp.dot(sel_ref[0, sl, :], x_o, preferred_element_type=f32)
         x_sp = x_sp + kern_k * xj_k
 
     # dL/d(x_sp) for this o, and dL/d(fiber kernel) partial for this (b', o)
@@ -138,9 +138,10 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
         g_o = g_o + g_p * fk_ref[o, p][None, :].astype(f32)
         dfk_ref[0, 0, p] = jnp.sum(x_sp * g_p, axis=0)
 
-    # pass 2: chain into the spatial conv, recomputing kern_k/xj_k per block
-    # (g_rows[e] = g_o[receiver] is an implicit broadcast across the K blocks)
-    w32_t = w.astype(f32).T  # [C, D]
+    # pass 2: chain into the spatial conv, recomputing kern_k/xj_k per block;
+    # 1-pass bf16 matmuls with f32 accumulation (see _bwd_spatial_kernel)
+    g_b = g_o.astype(bdt)
+    w_t = jax.lax.transpose(w, (1, 0))  # [C, D], tiny
     dw_acc = jnp.zeros((D, C), f32)
     dx = jnp.zeros((TA, C), f32)
     for k in range(K):
@@ -148,18 +149,14 @@ def _bwd_kernel(K, sel_ref, basis_ref, w_ref, x_ref, fk_ref, g_ref,
         basis_k = basis_ref[0, 0, sl, :]
         sel_k = sel_ref[0, sl, :]
         kern_k = jnp.dot(basis_k, w, preferred_element_type=f32)
-        xj_k = jnp.dot(sel_k, x_o, preferred_element_type=f32, precision=hi)
-        gx_k = g_o * xj_k  # [TA, C]
+        xj_k = jnp.dot(sel_k, x_o, preferred_element_type=f32)
+        gx_k = (g_o * xj_k).astype(bdt)  # [TA, C]
         dbasis_ref[0, 0, sl, :] = jnp.dot(
-            gx_k, w32_t, preferred_element_type=f32
+            gx_k, w_t, preferred_element_type=f32
         ).astype(dbasis_ref.dtype)
-        dw_acc = dw_acc + jnp.dot(
-            basis_k.astype(f32).T, gx_k, preferred_element_type=f32, precision=HI
-        )
-        dxc_k = kern_k * g_o  # [TA, C]
-        dx = dx + jnp.dot(
-            sel_k.astype(f32).T, dxc_k, preferred_element_type=f32, precision=HI
-        )
+        dw_acc = dw_acc + _dot_tn(basis_k, gx_k)
+        dxc_k = kern_k.astype(bdt) * g_b  # [TA, C]
+        dx = dx + _dot_tn(sel_k, dxc_k)
     dwp_ref[:] += dw_acc[None]
     dx_ref[0, 0] = dx.astype(dx_ref.dtype)
 
@@ -271,6 +268,141 @@ def _vjp_bwd(res, g):
 
 
 fused_fiber_conv.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _fwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, x_ref, y_ref):
+    TA, C = x_ref.shape[2], x_ref.shape[3]
+    f32 = jnp.float32
+    x_o = x_ref[0, 0]
+    hi = HI if sel_ref.dtype == f32 else None
+    x_sp = jnp.zeros((TA, C), f32)
+    for k in range(K):
+        sl = slice(k * TA, (k + 1) * TA)
+        kern_k = jnp.dot(basis_ref[0, 0, sl, :], w_ref[:], preferred_element_type=f32)
+        xj_k = jnp.dot(sel_ref[0, sl, :], x_o, preferred_element_type=f32, precision=hi)
+        x_sp = x_sp + kern_k * xj_k
+    y_ref[0, 0] = x_sp
+
+
+def _dot_tn(a, b):
+    """a^T @ b via dot_general contracting dims (no materialized transpose —
+    Mosaic relayouts are expensive; the MXU reads either operand order)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _bwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, x_ref, g_ref,
+                        dbasis_ref, dwp_ref, dx_ref):
+    # All backward matmuls run 1-pass bf16 with f32 accumulation: HIGHEST on
+    # f32 operands lowers to a 6-pass MXU decomposition (profiled at 5.5
+    # ms/layer, 7x the forward); dx/dbasis are cast to bf16 on output anyway
+    # and bf16 gradients are the standard training numerics.
+    o = pl.program_id(1)
+    TA, C = x_ref.shape[2], x_ref.shape[3]
+    D = basis_ref.shape[3]
+    f32 = jnp.float32
+    bdt = basis_ref.dtype
+
+    @pl.when(o == 0)
+    def _():
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+
+    w = w_ref[:]
+    x_o = x_ref[0, 0]
+    g_o = g_ref[0, 0].astype(f32)  # [TA, C]
+    g_b = g_o.astype(bdt)
+    w_t = jax.lax.transpose(w, (1, 0))  # [C, D], tiny
+    dw_acc = jnp.zeros((D, C), f32)
+    dx = jnp.zeros((TA, C), f32)
+    for k in range(K):
+        sl = slice(k * TA, (k + 1) * TA)
+        basis_k = basis_ref[0, 0, sl, :]
+        sel_k = sel_ref[0, sl, :]
+        kern_k = jnp.dot(basis_k, w, preferred_element_type=f32)
+        xj_k = jnp.dot(sel_k, x_o, preferred_element_type=f32)
+        gx_k = (g_o * xj_k).astype(bdt)
+        dbasis_ref[0, 0, sl, :] = jnp.dot(
+            gx_k, w_t, preferred_element_type=f32
+        ).astype(dbasis_ref.dtype)
+        dw_acc = dw_acc + _dot_tn(basis_k, gx_k)
+        dxc_k = (kern_k.astype(bdt) * g_b)
+        dx = dx + _dot_tn(sel_k, dxc_k)
+    dwp_ref[:] += dw_acc[None]
+    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+
+
+def _fwd_spatial(basis_om, w, x_om, sel):
+    Bp, O, E, D = basis_om.shape
+    TA, C = x_om.shape[2], x_om.shape[3]
+    K = E // TA
+    return pl.pallas_call(
+        partial(_fwd_spatial_kernel, K),
+        grid=(Bp, O),
+        in_specs=[
+            pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, O, TA, C), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+    )(sel, basis_om, w, x_om)
+
+
+def _bwd_spatial(basis_om, w, x_om, sel, g):
+    Bp, O, E, D = basis_om.shape
+    TA, C = x_om.shape[2], x_om.shape[3]
+    K = E // TA
+    dbasis, dwp, dx = pl.pallas_call(
+        partial(_bwd_spatial_kernel, K),
+        grid=(Bp, O),
+        in_specs=[
+            pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, C), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, O, E, D), basis_om.dtype),
+            jax.ShapeDtypeStruct((Bp, D, C), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, O, TA, C), x_om.dtype),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+    )(sel, basis_om, w, x_om, g.astype(jnp.float32))
+    return dbasis, dwp.sum(axis=0).astype(w.dtype), dx
+
+
+@jax.custom_vjp
+def fused_spatial_conv(basis_om, w, x_om, sel):
+    """Spatial conv only (kernel matmul + gather + K-reduce); the fiber
+    mixing is left to XLA. Same layouts as :func:`fused_fiber_conv`; returns
+    float32 [B', O, TA, C]."""
+    return _fwd_spatial(basis_om, w, x_om, sel)
+
+
+def _vjp_spatial_fwd(basis_om, w, x_om, sel):
+    return _fwd_spatial(basis_om, w, x_om, sel), (basis_om, w, x_om, sel)
+
+
+def _vjp_spatial_bwd(res, g):
+    basis_om, w, x_om, sel = res
+    dbasis, dw, dx = _bwd_spatial(basis_om, w, x_om, sel, g)
+    return dbasis, dw, dx, None
+
+
+fused_spatial_conv.defvjp(_vjp_spatial_fwd, _vjp_spatial_bwd)
 
 
 def reference_fiber_conv(basis, w, x, src, mask, fiber_kernel):

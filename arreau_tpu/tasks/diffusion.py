@@ -101,6 +101,7 @@ class DiffusionConfig:
     fourier_seed: int = 1234
     remat: bool = False
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for TPU speed
+    fuse_fiber: bool = False  # fold fiber mixing into the Pallas kernel
 
     @property
     def in_scalar_dim(self) -> int:
@@ -132,6 +133,7 @@ class DiffusionConfig:
             expected_degree=float(self.max_neighbors),
             remat=self.remat,
             compute_dtype=self.compute_dtype,
+            fuse_fiber=self.fuse_fiber,
         )
 
 
