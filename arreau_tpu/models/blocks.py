@@ -115,6 +115,7 @@ class FiberBundleConv(nn.Module):
         fiber_kernel_basis: jax.Array,  # [O, O, basis_dim]
         src: jax.Array,  # [B, A, K]
         edge_mask: jax.Array,  # [B, A, K]; gather matrix [B', K*TA, TA] when use_pallas
+        window: Optional[jax.Array] = None,  # [B', E, 1] in-kernel window (split pallas)
     ) -> tuple[jax.Array, Optional[jax.Array]]:
         scale = 1.0 / jnp.sqrt(self.expected_degree)
         basis_dim = kernel_basis.shape[-1]
@@ -147,7 +148,7 @@ class FiberBundleConv(nn.Module):
                 )  # [B', P, TA, C] f32 — orientation-major for the next layer
             else:
                 x_sp = fused_spatial_conv(
-                    kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask
+                    kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask, window
                 )  # [B', O, TA, C] f32
                 y = (
                     jnp.einsum(
@@ -196,16 +197,20 @@ class ConvNextBlock(nn.Module):
     fuse_fiber: bool = False
 
     @nn.compact
-    def __call__(self, x, kernel_basis, fiber_kernel_basis, src, edge_mask):
+    def __call__(self, x, kernel_basis, fiber_kernel_basis, src, edge_mask, window=None):
         residual = x
         x, messages = FiberBundleConv(
             self.channels, expected_degree=self.expected_degree, dtype=self.dtype,
             use_pallas=self.use_pallas, return_messages=self.return_messages,
             fuse_fiber=self.fuse_fiber,
             name="conv",
-        )(x, kernel_basis, fiber_kernel_basis, src, edge_mask)
-        # LayerNorm stays in f32 for numerically stable statistics
+        )(x, kernel_basis, fiber_kernel_basis, src, edge_mask, window)
+        # LayerNorm statistics in f32; the normalized stream continues in the
+        # compute dtype (bf16 on TPU) so saved activations/converts stay half
+        # width through the MLP and the next layer's conv
         x = nn.LayerNorm(name="norm")(x.astype(jnp.float32))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Dense(self.widening_factor * self.channels, name="linear_1", dtype=self.dtype)(x)
         x = self.act(x)
         x = nn.Dense(self.channels, name="linear_2", dtype=self.dtype)(x)

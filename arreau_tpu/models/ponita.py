@@ -187,6 +187,7 @@ class PonitaFiberBundle(nn.Module):
             use_pallas = False  # per-edge messages require the XLA path
 
         conv_src, conv_mask = nb.src, nb.mask
+        conv_window = None  # separate in-kernel window (split pallas path)
         B_, A_, K_, O_, _ = attr.shape
         tile = 1
         if use_pallas:
@@ -213,6 +214,10 @@ class PonitaFiberBundle(nn.Module):
             conv_mask = make_gather_matrix(
                 nb.src, nb.mask, dtype=cdtype or attr.dtype, crystals_per_tile=tile
             )
+            if not cfg.fuse_fiber:
+                # split kernel applies the window in-VMEM; keep basis clean
+                conv_window = window.reshape(Bp, K_ * tile * A_, 1).astype(jnp.float32)
+                window = None
         else:
             window = polynomial_cutoff(dists, cfg.radius)[..., None, None]
 
@@ -222,10 +227,11 @@ class PonitaFiberBundle(nn.Module):
         # HBM traffic in both autodiff directions
         if cdtype is not None:
             attr = attr.astype(cdtype)
-        kernel_basis = (
-            BasisMLP(cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="basis_fn")(attr)
-            * window.astype(cdtype or window.dtype)
-        )
+        kernel_basis = BasisMLP(
+            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="basis_fn"
+        )(attr)
+        if window is not None:
+            kernel_basis = kernel_basis * window.astype(kernel_basis.dtype)
         fiber_kernel_basis = BasisMLP(
             cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="fiber_basis_fn"
         )(fiber_attr)
@@ -237,7 +243,8 @@ class PonitaFiberBundle(nn.Module):
             x = x.reshape(Bp, tile, A_, num_ori, x.shape[-1])
             x = x.transpose(0, 3, 1, 2, 4).reshape(Bp, num_ori, tile * A_, x.shape[-1])
         x = nn.Dense(cfg.hidden_dim, use_bias=False, name="x_embedder", dtype=cdtype)(x)
-        x = x.astype(jnp.float32)
+        if cdtype is None:
+            x = x.astype(jnp.float32)
 
         out_total = (
             cfg.output_dim_scalar
@@ -262,7 +269,7 @@ class PonitaFiberBundle(nn.Module):
                 return_messages=need_messages,
                 fuse_fiber=cfg.fuse_fiber,
                 name=f"layer_{i}",
-            )(x, kernel_basis, fiber_kernel_basis, conv_src, conv_mask)
+            )(x, kernel_basis, fiber_kernel_basis, conv_src, conv_mask, conv_window)
             if cfg.multiple_readouts or i == cfg.num_layers - 1:
                 readouts.append(nn.Dense(out_total, name=f"readout_{i}")(x))
                 if cfg.output_dim_edge_scalar > 0:

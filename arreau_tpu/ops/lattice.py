@@ -93,13 +93,50 @@ def frac_to_cart(frac: jax.Array, lattice: jax.Array) -> jax.Array:
     return jnp.einsum("...ni,...ij->...nj", frac, lattice)
 
 
+def ridge_pinv_3x3(lattice: jax.Array, rel_eps: float = 100.0) -> jax.Array:
+    """Damped pseudo-inverse of batched 3x3 row-basis matrices, closed form.
+
+    ``L+ = L^T (L L^T + eps I)^-1`` with scale-aware Tikhonov damping and an
+    adjugate/determinant inverse of the SPD 3x3 — no SVD. Matches
+    ``jnp.linalg.pinv`` to machine precision for well-conditioned lattices and
+    stays bounded for (near-)singular predicted lattices (the reference's
+    reason for pinv, diffusion_helpers.py:233-242), at elementwise cost
+    instead of a batched eigendecomposition (profiled at ~0.7 ms/step).
+    """
+    g = jnp.einsum("...ik,...jk->...ij", lattice, lattice)  # L L^T, SPD
+    scale = jnp.trace(g, axis1=-2, axis2=-1)[..., None, None] / 3.0
+    eps = jnp.asarray(jnp.finfo(lattice.dtype).eps, lattice.dtype)
+    m = g + (rel_eps * eps * scale + eps) * jnp.eye(3, dtype=lattice.dtype)
+    # adjugate of m (symmetric)
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    det = a * A + b * B + c * C
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], -1),
+            jnp.stack([B, D, E], -1),
+            jnp.stack([C, E, F], -1),
+        ],
+        -2,
+    )
+    inv_m = adj / det[..., None, None]
+    return jnp.einsum("...ki,...kj->...ij", lattice, inv_m)  # L^T @ inv_m
+
+
 def cart_to_frac_without_mod(cart: jax.Array, lattice: jax.Array) -> jax.Array:
     """Cartesian -> fractional, without wrapping into [0, 1).
 
-    Uses pinv for robustness against (near-)singular predicted lattices, like
-    the reference (/root/reference/diffusion/diffusion_helpers.py:233-242).
+    Uses a damped closed-form pseudo-inverse for robustness against
+    (near-)singular predicted lattices, like the reference's pinv
+    (/root/reference/diffusion/diffusion_helpers.py:233-242).
     """
-    inv_lattice = jnp.linalg.pinv(lattice)
+    inv_lattice = ridge_pinv_3x3(lattice)
     return jnp.einsum("...ni,...ij->...nj", cart, inv_lattice)
 
 

@@ -270,16 +270,20 @@ def _vjp_bwd(res, g):
 fused_fiber_conv.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def _fwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, x_ref, y_ref):
+def _fwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
+    # The window (smooth radial cutoff, per edge) is folded in here: applied
+    # outside, it is a full elementwise pass over the [B', O, E, D] basis that
+    # cannot fuse across the custom-call boundary (~536 MB round trip per
+    # direction); in-kernel it is a [TA, 1] broadcast on the edge kernel.
     TA, C = x_ref.shape[2], x_ref.shape[3]
     f32 = jnp.float32
     x_o = x_ref[0, 0]
-    hi = HI if sel_ref.dtype == f32 else None
     x_sp = jnp.zeros((TA, C), f32)
     for k in range(K):
         sl = slice(k * TA, (k + 1) * TA)
         kern_k = jnp.dot(basis_ref[0, 0, sl, :], w_ref[:], preferred_element_type=f32)
-        xj_k = jnp.dot(sel_ref[0, sl, :], x_o, preferred_element_type=f32, precision=hi)
+        kern_k = kern_k * win_ref[0, sl, :]  # [TA, 1] lane broadcast
+        xj_k = jnp.dot(sel_ref[0, sl, :], x_o, preferred_element_type=f32)
         x_sp = x_sp + kern_k * xj_k
     y_ref[0, 0] = x_sp
 
@@ -292,8 +296,8 @@ def _dot_tn(a, b):
     )
 
 
-def _bwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, x_ref, g_ref,
-                        dbasis_ref, dwp_ref, dx_ref):
+def _bwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, win_ref, x_ref, g_ref,
+                        dbasis_ref, dwp_ref, dx_ref, dwin_ref):
     # All backward matmuls run 1-pass bf16 with f32 accumulation: HIGHEST on
     # f32 operands lowers to a 6-pass MXU decomposition (profiled at 5.5
     # ms/layer, 7x the forward); dx/dbasis are cast to bf16 on output anyway
@@ -307,11 +311,11 @@ def _bwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, x_ref, g_ref,
     @pl.when(o == 0)
     def _():
         dwp_ref[:] = jnp.zeros_like(dwp_ref)
+        dwin_ref[:] = jnp.zeros_like(dwin_ref)
 
     w = w_ref[:]
     x_o = x_ref[0, 0]
     g_o = g_ref[0, 0].astype(f32)  # [TA, C]
-    g_b = g_o.astype(bdt)
     w_t = jax.lax.transpose(w, (1, 0))  # [C, D], tiny
     dw_acc = jnp.zeros((D, C), f32)
     dx = jnp.zeros((TA, C), f32)
@@ -319,20 +323,23 @@ def _bwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, x_ref, g_ref,
         sl = slice(k * TA, (k + 1) * TA)
         basis_k = basis_ref[0, 0, sl, :]
         sel_k = sel_ref[0, sl, :]
+        win_k = win_ref[0, sl, :]  # [TA, 1]
         kern_k = jnp.dot(basis_k, w, preferred_element_type=f32)
         xj_k = jnp.dot(sel_k, x_o, preferred_element_type=f32)
-        gx_k = (g_o * xj_k).astype(bdt)
+        gx_k = g_o * xj_k  # [TA, C]
+        dwin_ref[0, sl, :] += jnp.sum(kern_k * gx_k, axis=1, keepdims=True)
+        gxw_k = (gx_k * win_k).astype(bdt)
         dbasis_ref[0, 0, sl, :] = jnp.dot(
-            gx_k, w_t, preferred_element_type=f32
+            gxw_k, w_t, preferred_element_type=f32
         ).astype(dbasis_ref.dtype)
-        dw_acc = dw_acc + _dot_tn(basis_k, gx_k)
-        dxc_k = (kern_k.astype(bdt) * g_b)
+        dw_acc = dw_acc + _dot_tn(basis_k, gxw_k)
+        dxc_k = ((kern_k * win_k) * g_o).astype(bdt)
         dx = dx + _dot_tn(sel_k, dxc_k)
     dwp_ref[:] += dw_acc[None]
     dx_ref[0, 0] = dx.astype(dx_ref.dtype)
 
 
-def _fwd_spatial(basis_om, w, x_om, sel):
+def _fwd_spatial(basis_om, w, x_om, sel, win):
     Bp, O, E, D = basis_om.shape
     TA, C = x_om.shape[2], x_om.shape[3]
     K = E // TA
@@ -343,6 +350,7 @@ def _fwd_spatial(basis_om, w, x_om, sel):
             pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, 1), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -351,20 +359,21 @@ def _fwd_spatial(basis_om, w, x_om, sel):
         out_shape=jax.ShapeDtypeStruct((Bp, O, TA, C), jnp.float32),
         interpret=_interpret(),
         compiler_params=None if _interpret() else _COMPILER_PARAMS,
-    )(sel, basis_om, w, x_om)
+    )(sel, basis_om, w, win, x_om)
 
 
-def _bwd_spatial(basis_om, w, x_om, sel, g):
+def _bwd_spatial(basis_om, w, x_om, sel, win, g):
     Bp, O, E, D = basis_om.shape
     TA, C = x_om.shape[2], x_om.shape[3]
     K = E // TA
-    dbasis, dwp, dx = pl.pallas_call(
+    dbasis, dwp, dx, dwin = pl.pallas_call(
         partial(_bwd_spatial_kernel, K),
         grid=(Bp, O),
         in_specs=[
             pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, 1), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -372,34 +381,38 @@ def _bwd_spatial(basis_om, w, x_om, sel, g):
             pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, C), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            # dwin accumulates across the (inner) o axis like dwp
+            pl.BlockSpec((1, E, 1), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, O, E, D), basis_om.dtype),
             jax.ShapeDtypeStruct((Bp, D, C), jnp.float32),
             jax.ShapeDtypeStruct((Bp, O, TA, C), x_om.dtype),
+            jax.ShapeDtypeStruct((Bp, E, 1), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else _COMPILER_PARAMS,
-    )(sel, basis_om, w, x_om, g.astype(jnp.float32))
-    return dbasis, dwp.sum(axis=0).astype(w.dtype), dx
+    )(sel, basis_om, w, win, x_om, g.astype(jnp.float32))
+    return dbasis, dwp.sum(axis=0).astype(w.dtype), dx, dwin.astype(win.dtype)
 
 
 @jax.custom_vjp
-def fused_spatial_conv(basis_om, w, x_om, sel):
-    """Spatial conv only (kernel matmul + gather + K-reduce); the fiber
-    mixing is left to XLA. Same layouts as :func:`fused_fiber_conv`; returns
-    float32 [B', O, TA, C]."""
-    return _fwd_spatial(basis_om, w, x_om, sel)
+def fused_spatial_conv(basis_om, w, x_om, sel, win):
+    """Spatial conv only (kernel matmul + window + gather + K-reduce); the
+    fiber mixing is left to XLA. Same layouts as :func:`fused_fiber_conv`
+    plus the per-edge window ``win [B', E, 1]`` (float32, differentiable).
+    Returns float32 [B', O, TA, C]."""
+    return _fwd_spatial(basis_om, w, x_om, sel, win)
 
 
-def _vjp_spatial_fwd(basis_om, w, x_om, sel):
-    return _fwd_spatial(basis_om, w, x_om, sel), (basis_om, w, x_om, sel)
+def _vjp_spatial_fwd(basis_om, w, x_om, sel, win):
+    return _fwd_spatial(basis_om, w, x_om, sel, win), (basis_om, w, x_om, sel, win)
 
 
 def _vjp_spatial_bwd(res, g):
-    basis_om, w, x_om, sel = res
-    dbasis, dw, dx = _bwd_spatial(basis_om, w, x_om, sel, g)
-    return dbasis, dw, dx, None
+    basis_om, w, x_om, sel, win = res
+    dbasis, dw, dx, dwin = _bwd_spatial(basis_om, w, x_om, sel, win, g)
+    return dbasis, dw, dx, None, dwin
 
 
 fused_spatial_conv.defvjp(_vjp_spatial_fwd, _vjp_spatial_bwd)

@@ -29,8 +29,10 @@ sel = make_gather_matrix(src, mask, dtype=jnp.bfloat16, crystals_per_tile=TILE)
 def v_fused(basis_om, w, x_om, fk):
     return (fused_fiber_conv(basis_om, w, x_om, sel, fk) ** 2).sum()
 
+win = jnp.ones((Bp, K*TILE*A, 1), jnp.float32)
+
 def v_split(basis_om, w, x_om, fk):
-    x_sp = fused_spatial_conv(basis_om, w, x_om, sel)  # [B', O, TA, C]
+    x_sp = fused_spatial_conv(basis_om, w, x_om, sel, win)  # [B', O, TA, C]
     y = jnp.einsum("botc,opc->bptc", x_sp, fk.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return (y ** 2).sum()

@@ -140,3 +140,21 @@ def test_cubic_score_and_losses():
     np.testing.assert_allclose(float(inside), 0.0)
     outside = lat.angle_bound_loss(jnp.array([[150.0, 90.0, 40.0]]))
     assert float(outside) > 0
+
+
+def test_ridge_pinv_matches_pinv_and_is_bounded():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from arreau_tpu.ops import lattice as lat
+
+    rng = np.random.default_rng(5)
+    L = jnp.asarray(rng.normal(size=(16, 3, 3)) + 4 * np.eye(3))
+    np.testing.assert_allclose(
+        np.asarray(lat.ridge_pinv_3x3(L)), np.asarray(jnp.linalg.pinv(L)),
+        rtol=1e-8, atol=1e-10,
+    )
+    # near-singular lattices stay bounded (pinv's robustness requirement)
+    sing = jnp.asarray(np.stack([np.diag([1e-12, 2.0, 3.0]), np.zeros((3, 3))]))
+    out = np.asarray(lat.ridge_pinv_3x3(sing))
+    assert np.isfinite(out).all()

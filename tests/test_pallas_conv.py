@@ -157,3 +157,56 @@ def test_model_pallas_gradients_match_xla_path():
     np.testing.assert_allclose(
         np.asarray(flat_p), np.asarray(flat_x), rtol=5e-4, atol=1e-5
     )
+
+
+def test_split_spatial_kernel_with_window_parity():
+    """fused_spatial_conv applies the per-edge window in-kernel; fwd + grads
+    (incl. d(window)) must match the XLA oracle with basis*window."""
+    from arreau_tpu.ops.pallas_conv import fused_spatial_conv
+
+    basis, w, x, src, mask, fk = _data(seed=4)
+    B, A, K = src.shape
+    O = basis.shape[3]
+    rng = np.random.default_rng(9)
+    win_std = jnp.asarray(rng.uniform(0.2, 1.0, size=(B, A, K)), jnp.float32)
+
+    def ref_loss(basis, w, x, win):
+        bw = basis * win[..., None, None]
+        kern = jnp.einsum("bakod,dc->bakoc", bw, w).astype(jnp.float32)
+        idx = src.reshape(B, A * K)[:, :, None, None]
+        x_j = jnp.take_along_axis(x, idx, axis=1).reshape(B, A, K, O, -1)
+        msg = kern * x_j.astype(jnp.float32)
+        x_sp = jnp.where(mask[..., None, None], msg, 0.0).sum(axis=2)
+        return (x_sp**2).sum()
+
+    for tile in (1, 2):
+        Bp = B // tile
+        basis_om, x_om, sel = _to_kernel_layout(basis, x, src, mask, tile)
+        win_k = win_std.reshape(Bp, tile, A, K).transpose(0, 3, 1, 2).reshape(
+            Bp, K * tile * A, 1
+        )
+
+        def pal_loss(basis_om, w, x_om, win_k):
+            return (fused_spatial_conv(basis_om, w, x_om, sel, win_k) ** 2).sum()
+
+        yp = pal_loss(basis_om, w, x_om, win_k)
+        yr = ref_loss(basis, w, x, win_std)
+        np.testing.assert_allclose(float(yp), float(yr), rtol=1e-5)
+
+        gp = jax.grad(pal_loss, argnums=(0, 1, 2, 3))(basis_om, w, x_om, win_k)
+        gr = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(basis, w, x, win_std)
+        # map layouts back for comparison
+        D = basis.shape[-1]
+        gb = np.asarray(gp[0]).reshape(Bp, O, K, tile, A, D).transpose(
+            0, 3, 4, 2, 1, 5
+        ).reshape(B, A, K, O, D)
+        gx = np.asarray(gp[2]).reshape(Bp, O, tile, A, -1).transpose(
+            0, 2, 3, 1, 4
+        ).reshape(B, A, O, -1)
+        gw = np.asarray(gp[3]).reshape(Bp, K, tile, A).transpose(0, 2, 3, 1).reshape(
+            B, A, K
+        )
+        np.testing.assert_allclose(gb, np.asarray(gr[0]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gx, np.asarray(gr[2]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gw, np.asarray(gr[3]), rtol=1e-4, atol=1e-4)
