@@ -142,3 +142,31 @@ def test_data_parallel_step_8_devices():
     )
     for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(state3.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+
+
+def test_bf16_compute_path_tracks_f32():
+    """The bfloat16 compute path (bf16 residual stream, bf16 matmuls, f32
+    LayerNorm stats / losses) must track the f32 path closely on the same
+    batch — guards the TPU-speed numerics against silent divergence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from arreau_tpu.data.synthetic import make_synthetic_batch, synthetic_z_table
+    from arreau_tpu.tasks.diffusion import CrystalBatch, DiffusionConfig, DiffusionModel
+
+    zt = synthetic_z_table()
+    rng = np.random.default_rng(0)
+    host = make_synthetic_batch(rng, zt, 16, 8)
+    batch = CrystalBatch(*(jnp.asarray(a) for a in host))
+    kw = dict(num_atomic_states=len(zt), num_timesteps=50, hidden_dim=32,
+              basis_dim=32, num_ori=4, num_layers=2, max_neighbors=4)
+    m32 = DiffusionModel(DiffusionConfig(**kw))
+    mbf = DiffusionModel(DiffusionConfig(**kw, compute_dtype="bfloat16"))
+    params = m32.init(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+    _, r32 = m32.loss(params, key, batch, timestep=17)
+    _, rbf = mbf.loss(params, key, batch, timestep=17)
+    for k in ("loss_coord", "loss_type", "loss_lattice"):
+        a, b = float(r32[k]), float(rbf[k])
+        assert abs(a - b) / max(abs(a), 1e-3) < 0.05, (k, a, b)
