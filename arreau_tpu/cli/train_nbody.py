@@ -43,6 +43,10 @@ def parse_args(argv=None):
     p.add_argument("--multiple_readouts", type=eval, default=True)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints-nbody")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--scan_epoch", type=eval, default=True,
+                   help="on a single device, run each epoch as one jitted "
+                        "lax.scan over its batches (the 30 tiny steps/epoch "
+                        "are host-dispatch-bound otherwise)")
     return p.parse_args(argv)
 
 
@@ -120,30 +124,102 @@ def main(argv=None):
     timer = EpochTimer()
     best = float("inf")
     global_step = 0
+
+    # Single-device fast path: an epoch is only ~30 batch-100 steps, so the
+    # per-batch python dispatch dominates wall time. Run the whole epoch as
+    # one jitted lax.scan over device-resident splits instead (the full
+    # nbody_small dataset is <2 MB).
+    use_scan = args.scan_epoch and jax.device_count() == 1 and args.max_steps is None
+    if use_scan:
+        from functools import partial
+
+        from arreau_tpu.train.state import apply_gradients
+
+        bs = args.batch_size
+
+        def device_split(name):
+            ex = splits[name]
+            return tuple(
+                jnp.asarray(a, jnp.float32)
+                for a in (ex.loc0, ex.vel0, ex.charges, ex.loc_end)
+            )
+
+        def scan_steps(state, key, idx, arrays, augment, train):
+            pos, vel, ch, tgt = arrays
+
+            def body(carry, batch_idx):
+                state, key = carry
+                key, k_rot, k_step = jax.random.split(key, 3)
+                batch = NBodyBatch(pos[batch_idx], vel[batch_idx], ch[batch_idx], tgt[batch_idx])
+                if augment:
+                    batch = rotate_nbody_batch(k_rot, batch)
+                if train:
+                    (_, metrics), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                        state.params, k_step, batch
+                    )
+                    state = apply_gradients(state, grads, tx)
+                else:
+                    params = state.ema_params if state.ema_params is not None else state.params
+                    _, metrics = model.loss(params, k_step, batch)
+                return (state, key), metrics
+
+            (state, _), ms = jax.lax.scan(body, (state, key), idx)
+            return state, jax.tree.map(jnp.mean, ms)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_epoch_fn(state, key, arrays):
+            kp, key = jax.random.split(key)
+            idx = jax.random.permutation(kp, arrays[0].shape[0])
+            idx = idx[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+            return scan_steps(state, key, idx, arrays, augment=args.train_augm, train=True)
+
+        @jax.jit
+        def eval_epoch_fn(state, key, arrays):
+            nb = arrays[0].shape[0] // bs
+            idx = jnp.arange(nb * bs).reshape(nb, bs)
+            _, ms = scan_steps(state, key, idx, arrays, augment=False, train=False)
+            return ms
+
+        train_arrays = device_split("train")
+        valid_arrays = device_split("valid")
+        test_arrays = device_split("test")
+
+    log_every = 1 if args.epochs <= 500 else args.val_interval
     for epoch in range(args.epochs):
         timer.epoch_start()
-        tm = MeanMetrics()
-        for batch in batches("train", True, rng):
-            batch = shard_batch(batch, mesh)
-            key, k_rot, k_step = jax.random.split(key, 3)
-            if args.train_augm:
-                batch = rotate_nbody_batch(k_rot, batch)
-            state, metrics = train_step(state, k_step, batch)
-            tm.update(metrics)
-            global_step += 1
-            if args.max_steps and global_step >= args.max_steps:
-                break
+        if use_scan:
+            key, k_ep = jax.random.split(key)
+            state, t = train_epoch_fn(state, k_ep, train_arrays)
+            t = {k: float(v) for k, v in t.items()}
+            global_step += steps_per_epoch
+        else:
+            tm = MeanMetrics()
+            for batch in batches("train", True, rng):
+                batch = shard_batch(batch, mesh)
+                key, k_rot, k_step = jax.random.split(key, 3)
+                if args.train_augm:
+                    batch = rotate_nbody_batch(k_rot, batch)
+                state, metrics = train_step(state, k_step, batch)
+                tm.update(metrics)
+                global_step += 1
+                if args.max_steps and global_step >= args.max_steps:
+                    break
+            t = tm.compute()
         dt = timer.epoch_end()
-        t = tm.compute()
-        print(f"epoch {epoch} | train MSE {t.get('mse', float('nan')):.6f} | {dt:.1f}s")
+        if epoch % log_every == 0 or epoch == args.epochs - 1:
+            print(f"epoch {epoch} | train MSE {t.get('mse', float('nan')):.6f} | {dt:.1f}s", flush=True)
 
         if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
-            vm = MeanMetrics()
-            for batch in batches("valid", False, rng):
+            if use_scan:
                 key, k_eval = jax.random.split(key)
-                vm.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
-            v = vm.compute().get("mse", float("nan"))
-            print(f"epoch {epoch} | valid MSE {v:.6f}")
+                v = float(eval_epoch_fn(state, k_eval, valid_arrays).get("mse", float("nan")))
+            else:
+                vm = MeanMetrics()
+                for batch in batches("valid", False, rng):
+                    key, k_eval = jax.random.split(key)
+                    vm.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
+                v = vm.compute().get("mse", float("nan"))
+            print(f"epoch {epoch} | valid MSE {v:.6f}", flush=True)
             ckpt.save(state, "last")
             if v < best:
                 best = v
@@ -154,11 +230,15 @@ def main(argv=None):
     print(timer.summary())
     if ckpt.has("best"):
         state = ckpt.restore(state, "best")
-    tmets = MeanMetrics()
-    for batch in batches("test", False, rng):
+    if use_scan:
         key, k_eval = jax.random.split(key)
-        tmets.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
-    test_mse = tmets.compute().get("mse", float("nan"))
+        test_mse = float(eval_epoch_fn(state, k_eval, test_arrays).get("mse", float("nan")))
+    else:
+        tmets = MeanMetrics()
+        for batch in batches("test", False, rng):
+            key, k_eval = jax.random.split(key)
+            tmets.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
+        test_mse = tmets.compute().get("mse", float("nan"))
     print(f"test MSE {test_mse:.6f}")
     return test_mse
 
