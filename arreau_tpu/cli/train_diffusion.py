@@ -190,7 +190,16 @@ def main(argv=None):
     def loss_fn(params, key, batch):
         return model.loss(params, key, batch, timestep=fixed_t)
 
-    train_step = make_train_step(loss_fn, tx, mesh=mesh)
+    def train_loss_fn(params, key, batch):
+        # rotation augmentation lives INSIDE the jitted step: issuing it
+        # eagerly costs ~10 small dispatches per step, which dominates when
+        # the device is remote (axon tunnel) or the step is ~40 ms
+        if args.train_augm:
+            key, k_rot = jax.random.split(key)
+            batch = rotate_batch(k_rot, batch)
+        return model.loss(params, key, batch, timestep=fixed_t)
+
+    train_step = make_train_step(train_loss_fn, tx, mesh=mesh)
     eval_step = make_eval_step(loss_fn, mesh=mesh, use_ema=args.ema is not None)
 
     def device_batches(split):
@@ -241,15 +250,18 @@ def main(argv=None):
             jax.profiler.start_trace("profile_results")
             profiled = True
         train_metrics = MeanMetrics()
+        # per-step metrics stay on device (a float() here would force a
+        # device sync per step); one device_get resolves them at epoch end
+        pending = []
         for batch in device_batches("train"):
-            key, k_rot, k_step = jax.random.split(key, 3)
-            if args.train_augm:
-                batch = rotate_batch(k_rot, batch)
+            key, k_step = jax.random.split(key)
             state, metrics = train_step(state, k_step, batch)
-            weighted_update(train_metrics, metrics)
+            pending.append(metrics)
             global_step += 1
             if args.max_steps is not None and global_step >= args.max_steps:
                 break
+        for m in jax.device_get(pending):
+            weighted_update(train_metrics, m)
         if profiled and epoch == 1:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
@@ -267,9 +279,12 @@ def main(argv=None):
 
         if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
             vm = MeanMetrics()
+            vpending = []
             for batch in device_batches("valid"):
                 key, k_eval = jax.random.split(key)
-                weighted_update(vm, eval_step(state, k_eval, batch))
+                vpending.append(eval_step(state, k_eval, batch))
+            for m in jax.device_get(vpending):
+                weighted_update(vm, m)
             v = exact_loss(vm.compute())
             print(f"epoch {epoch} | valid loss {v.get('loss', float('nan')):.4f}")
             if wandb_run:
@@ -288,9 +303,12 @@ def main(argv=None):
     if ckpt.has("best"):
         state = ckpt.restore(state, "best")
     tmets = MeanMetrics()
+    tpending = []
     for batch in device_batches("test"):
         key, k_eval = jax.random.split(key)
-        weighted_update(tmets, eval_step(state, k_eval, batch))
+        tpending.append(eval_step(state, k_eval, batch))
+    for m in jax.device_get(tpending):
+        weighted_update(tmets, m)
     t = exact_loss(tmets.compute())
     print(f"test loss {t.get('loss', float('nan')):.4f}")
     if wandb_run:

@@ -130,7 +130,14 @@ def main(argv=None):
     schedule = cosine_warmup_schedule(args.lr, args.warmup, args.epochs, steps_per_epoch)
     tx = make_optimizer(schedule, args.weight_decay, grad_clip=0.5)
     state = create_train_state(params, tx, ema_decay=0.99)
-    train_step = make_train_step(model.loss, tx, mesh=mesh)
+    def train_loss_fn(params, key, batch):
+        # augmentation inside the jitted step (see train_qm9.py)
+        if args.train_augm:
+            key, k_rot = jax.random.split(key)
+            batch = rotate_md17_batch(k_rot, batch)
+        return model.loss(params, key, batch)
+
+    train_step = make_train_step(train_loss_fn, tx, mesh=mesh)
 
     def eval_step_fn(state, key, batch):
         params_eval = state.ema_params if state.ema_params is not None else state.params
@@ -146,25 +153,29 @@ def main(argv=None):
     for epoch in range(args.epochs):
         timer.epoch_start()
         tm = MeanMetrics()
+        pending = []  # device scalars; one device_get at epoch end (no per-step sync)
         for batch in batches(tr, True):
             batch = shard_batch(batch, mesh)
-            key, k_rot, k_step = jax.random.split(key, 3)
-            if args.train_augm:
-                batch = rotate_md17_batch(k_rot, batch)
+            key, k_step = jax.random.split(key)
             state, metrics = train_step(state, k_step, batch)
-            tm.update(metrics)
+            pending.append(metrics)
             global_step += 1
             if args.max_steps and global_step >= args.max_steps:
                 break
+        for m in jax.device_get(pending):
+            tm.update(m)
         dt = timer.epoch_end()
         t = tm.compute()
         print(f"epoch {epoch} | train E-MAE {t.get('mae_energy', 0):.4f} "
               f"F-MAE {t.get('mae_force', 0):.4f} | {dt:.1f}s")
         if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
             vm = MeanMetrics()
+            vpending = []
             for batch in batches(va, False):
                 key, k_eval = jax.random.split(key)
-                vm.update(eval_step(state, k_eval, batch))
+                vpending.append(eval_step(state, k_eval, batch))
+            for m in jax.device_get(vpending):
+                vm.update(m)
             v = vm.compute()
             vf = v.get("mae_force", float("nan"))
             print(f"epoch {epoch} | valid E-MAE {v.get('mae_energy', 0):.4f} F-MAE {vf:.4f}")

@@ -116,7 +116,14 @@ def main(argv=None):
     schedule = cosine_warmup_schedule(args.lr, max(args.warmup, 1e-6), args.epochs, steps_per_epoch)
     tx = make_optimizer(schedule, args.weight_decay, grad_clip=0.5)
     state = create_train_state(params, tx, ema_decay=0.99)
-    train_step = make_train_step(model.loss, tx, mesh=mesh)
+    def train_loss_fn(params, key, batch):
+        # augmentation inside the jitted step (see train_qm9.py)
+        if args.train_augm:
+            key, k_rot = jax.random.split(key)
+            batch = rotate_mnist_batch(k_rot, batch)
+        return model.loss(params, key, batch)
+
+    train_step = make_train_step(train_loss_fn, tx, mesh=mesh)
     eval_step = make_eval_step(model.loss, mesh=mesh, use_ema=True)
     ckpt = CheckpointManager(args.checkpoint_dir, {"config": vars(args)})
 
@@ -126,25 +133,29 @@ def main(argv=None):
     for epoch in range(args.epochs):
         timer.epoch_start()
         tm = MeanMetrics()
+        pending = []  # device scalars; one device_get at epoch end (no per-step sync)
         for batch in batches("train", True):
             batch = shard_batch(batch, mesh)
-            key, k_rot, k_step = jax.random.split(key, 3)
-            if args.train_augm:
-                batch = rotate_mnist_batch(k_rot, batch)
+            key, k_step = jax.random.split(key)
             state, metrics = train_step(state, k_step, batch)
-            tm.update(metrics)
+            pending.append(metrics)
             global_step += 1
             if args.max_steps and global_step >= args.max_steps:
                 break
+        for m in jax.device_get(pending):
+            tm.update(m)
         dt = timer.epoch_end()
         t = tm.compute()
         print(f"epoch {epoch} | train acc {t.get('accuracy', 0):.4f} "
               f"nll {t.get('loss', 0):.4f} | {dt:.1f}s")
         if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
             vm = MeanMetrics()
+            vpending = []
             for batch in batches("valid", False):
                 key, k_eval = jax.random.split(key)
-                vm.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
+                vpending.append(eval_step(state, k_eval, shard_batch(batch, mesh)))
+            for m in jax.device_get(vpending):
+                vm.update(m)
             v = vm.compute().get("accuracy", 0.0)
             print(f"epoch {epoch} | valid acc {v:.4f}")
             ckpt.save(state, "last")

@@ -200,16 +200,19 @@ def main(argv=None):
             global_step += steps_per_epoch
         else:
             tm = MeanMetrics()
+            pending = []  # device scalars; one device_get at epoch end
             for batch in batches("train", True, rng):
                 batch = shard_batch(batch, mesh)
                 key, k_rot, k_step = jax.random.split(key, 3)
                 if args.train_augm:
                     batch = rotate_nbody_batch(k_rot, batch)
                 state, metrics = train_step(state, k_step, batch)
-                tm.update(metrics)
+                pending.append(metrics)
                 global_step += 1
                 if args.max_steps and global_step >= args.max_steps:
                     break
+            for m in jax.device_get(pending):
+                tm.update(m)
             t = tm.compute()
         dt = timer.epoch_end()
         if epoch % log_every == 0 or epoch == args.epochs - 1:

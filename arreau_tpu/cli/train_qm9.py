@@ -118,7 +118,15 @@ def main(argv=None):
     schedule = cosine_warmup_schedule(args.lr, args.warmup, args.epochs, steps_per_epoch)
     tx = make_optimizer(schedule, args.weight_decay, grad_clip=0.5)
     state = create_train_state(params, tx, ema_decay=0.99)
-    train_step = make_train_step(model.loss, tx, mesh=mesh)
+    def train_loss_fn(params, key, batch):
+        # augmentation inside the jitted step: eager rotation costs ~10
+        # dispatches/step, which dominates with a remote (tunneled) device
+        if args.train_augm:
+            key, k_rot = jax.random.split(key)
+            batch = rotate_molecule_batch(k_rot, batch)
+        return model.loss(params, key, batch)
+
+    train_step = make_train_step(train_loss_fn, tx, mesh=mesh)
     eval_step = make_eval_step(model.loss, mesh=mesh, use_ema=True)
     ckpt = CheckpointManager(args.checkpoint_dir, {"config": vars(args), "shift": shift, "scale": scale})
 
@@ -128,24 +136,28 @@ def main(argv=None):
     for epoch in range(args.epochs):
         timer.epoch_start()
         tm = MeanMetrics()
+        pending = []  # device scalars; one device_get at epoch end (no per-step sync)
         for batch in batches(tr, True):
             batch = shard_batch(batch, mesh)
-            key, k_rot, k_step = jax.random.split(key, 3)
-            if args.train_augm:
-                batch = rotate_molecule_batch(k_rot, batch)
+            key, k_step = jax.random.split(key)
             state, metrics = train_step(state, k_step, batch)
-            tm.update(metrics)
+            pending.append(metrics)
             global_step += 1
             if args.max_steps and global_step >= args.max_steps:
                 break
+        for m in jax.device_get(pending):
+            tm.update(m)
         dt = timer.epoch_end()
         t = tm.compute()
         print(f"epoch {epoch} | train MAE {t.get('mae', float('nan')):.6f} | {dt:.1f}s")
         if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
             vm = MeanMetrics()
+            vpending = []
             for batch in batches(va, False):
                 key, k_eval = jax.random.split(key)
-                vm.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
+                vpending.append(eval_step(state, k_eval, shard_batch(batch, mesh)))
+            for m in jax.device_get(vpending):
+                vm.update(m)
             v = vm.compute().get("mae", float("nan"))
             print(f"epoch {epoch} | valid MAE {v:.6f}")
             ckpt.save(state, "last")
@@ -159,9 +171,12 @@ def main(argv=None):
     if ckpt.has("best"):
         state = ckpt.restore(state, "best")
     tmets = MeanMetrics()
+    tpending = []
     for batch in batches(te, False):
         key, k_eval = jax.random.split(key)
-        tmets.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
+        tpending.append(eval_step(state, k_eval, shard_batch(batch, mesh)))
+    for m in jax.device_get(tpending):
+        tmets.update(m)
     test_mae = tmets.compute().get("mae", float("nan"))
     print(f"test MAE {test_mae:.6f}")
     return test_mae
