@@ -32,7 +32,12 @@ test-all:
 bench:
 	python bench.py
 
+# full reference recipe (main_nbody.py defaults: 10k epochs on the 3k-sample
+# nbody_small subset); reproduces the test MSE recorded in BASELINE.md
 train-nbody:
+	python -m arreau_tpu.cli.train_nbody --epochs=10000 --val_interval=20 --batch_size=100
+
+train-nbody-quick:
 	python -m arreau_tpu.cli.train_nbody --epochs=100 --batch_size=100
 
 train-qm9:
