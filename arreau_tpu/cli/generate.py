@@ -164,6 +164,9 @@ def main(argv=None):
     results = []
     snapshots = None
     remaining = args.num_crystals
+    t_gen0 = None  # throughput timer starts after the first (compiling) batch
+    n_timed = 0
+    import time as _time
     while remaining > 0:
         key, sub = jax.random.split(key)
         if args.gif and remaining <= args.batch_size:
@@ -183,7 +186,15 @@ def main(argv=None):
         trimmed = jax.tree.map(lambda x: x[:take], batch_out)
         results.append(from_dense_batch(trimmed, z_table))
         remaining -= take
+        if t_gen0 is None:
+            t_gen0 = _time.perf_counter()  # first batch paid for compile
+        else:
+            n_timed += take
         print(f"generated {args.num_crystals - remaining}/{args.num_crystals}")
+    if n_timed > 0:
+        dt = _time.perf_counter() - t_gen0
+        print(f"sampler throughput: {n_timed / dt * 60:.0f} crystals/min "
+              f"(T={model.config.num_timesteps} reverse steps, warm jit)")
 
     if snapshots:
         from arreau_tpu.inference.visualize import generate_gif, vis_crystal_during_sampling
