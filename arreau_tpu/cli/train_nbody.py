@@ -32,6 +32,10 @@ def parse_args(argv=None):
                         "nbody_small 10k/2k/2k convention, trained on a 3k subset)")
     p.add_argument("--dataset", type=str, default="nbody_small")
     p.add_argument("--data_dir", type=str, default="datasets/nbody")
+    p.add_argument("--model", type=str, default="ponita", choices=("ponita", "egnn"),
+                   help="'egnn' trains the runnable EGNN baseline (the reference "
+                        "vendors broken baselines and hard-codes their curves; "
+                        "see models/egnn.py)")
     p.add_argument("--radius", type=eval, default=None)
     p.add_argument("--num_ori", type=int, default=16)
     p.add_argument("--hidden_dim", type=int, default=128)
@@ -80,18 +84,23 @@ def main(argv=None):
         for split in ("train", "valid", "test")
     }
 
-    cfg = NBodyConfig(
-        hidden_dim=args.hidden_dim,
-        basis_dim=args.basis_dim,
-        degree=args.degree,
-        num_layers=args.layers,
-        num_ori=args.num_ori,
-        widening_factor=args.widening_factor,
-        layer_scale=args.layer_scale if args.layer_scale != 0.0 else None,
-        multiple_readouts=args.multiple_readouts,
-        radius=args.radius,
-    )
-    model = NBodyModel(cfg)
+    if args.model == "egnn":
+        from arreau_tpu.models.egnn import EGNNConfig, EGNNNBody
+
+        model = EGNNNBody(EGNNConfig(hidden_dim=args.hidden_dim, num_layers=args.layers))
+    else:
+        cfg = NBodyConfig(
+            hidden_dim=args.hidden_dim,
+            basis_dim=args.basis_dim,
+            degree=args.degree,
+            num_layers=args.layers,
+            num_ori=args.num_ori,
+            widening_factor=args.widening_factor,
+            layer_scale=args.layer_scale if args.layer_scale != 0.0 else None,
+            multiple_readouts=args.multiple_readouts,
+            radius=args.radius,
+        )
+        model = NBodyModel(cfg)
     mesh = make_mesh()
 
     def batches(split, shuffle, rng):
