@@ -42,11 +42,20 @@ class EGNNLayer(nn.Module):
         m = nn.silu(m)
         m = jnp.where(edge_mask[..., None], m, 0.0)
 
-        # coordinate update: x_i += sum_j (x_i - x_j) * phi_x(m_ij)
+        # coordinate update: x_i += sum_j (x_i - x_j) * phi_x(m_ij) + phi_v(h_i) * v_i
+        # (the velocity term is the EGNN-vel variant Satorras et al. use for
+        # N-body — the target displacement is dominated by v*dt, which the
+        # position-difference basis alone cannot express and the model would
+        # otherwise memorize instead of generalize)
         coord_w = nn.Dense(1, use_bias=False, name="coord",
                            kernel_init=nn.initializers.variance_scaling(0.001, "fan_in", "truncated_normal"))(m)
         denom = jnp.sqrt(dist_sqr + 1.0)
         pos_delta = jnp.where(edge_mask[..., None], diff / denom * coord_w, 0.0).sum(axis=2)
+        if vel_feat is not None:
+            vel, h_init = vel_feat
+            pos_delta = pos_delta + nn.Dense(1, name="vel_gate")(
+                jnp.concatenate([h, h_init], axis=-1)
+            ) * vel
 
         agg = m.sum(axis=2)
         node_in = jnp.concatenate([h, agg], axis=-1)
@@ -70,8 +79,11 @@ class EGNN(nn.Module):
         )
         edge_mask = ~jnp.eye(N, dtype=bool)[None].repeat(B, axis=0)
         x = pos
+        h0 = h
         for i in range(self.config.num_layers):
-            h, x = EGNNLayer(self.config.hidden_dim, name=f"layer_{i}")(h, x, None, edge_mask)
+            h, x = EGNNLayer(self.config.hidden_dim, name=f"layer_{i}")(
+                h, x, (vel, h0), edge_mask
+            )
         return x
 
 
