@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--gif", type=eval, default=False,
                    help="render the sampling trajectory of the last batch as a GIF")
     p.add_argument("--snapshot_every", type=int, default=10)
+    p.add_argument("--type_temperature", type=float, default=1.0,
+                   help="gumbel scale for D3PM type draws (1.0 = reference "
+                        "semantics, 0.0 = posterior argmax)")
     p.add_argument(
         "--constant_atomic_symbols",
         type=str,
@@ -159,6 +162,7 @@ def main(argv=None):
             num_atoms_per_sample=args.num_atoms_per_sample,
             constant_atoms=constant_atoms,
             length_bounds=length_bounds,
+            type_temperature=args.type_temperature,
         )
     )
     results = []
@@ -179,6 +183,7 @@ def main(argv=None):
                 constant_atoms=constant_atoms,
                 snapshot_every=args.snapshot_every,
                 length_bounds=length_bounds,
+                type_temperature=args.type_temperature,
             )
         else:
             batch_out = sample_jit(params, sub)

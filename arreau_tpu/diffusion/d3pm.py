@@ -172,10 +172,17 @@ def d3pm_reverse_step(
     xt: jax.Array,
     predicted_x0_logits: jax.Array,
     t: jax.Array,
+    temperature: float = 1.0,
 ) -> jax.Array:
     """Gumbel posterior sampling step; gumbel is damped 5x at ``t == 1``
-    (reference ``reverse``, d3pm.py:198-215)."""
+    (reference ``reverse``, d3pm.py:198-215).
+
+    ``temperature`` scales the gumbel noise: 1.0 is exact reference
+    semantics; 0.0 is deterministic posterior argmax. Lower values trade
+    categorical diversity for type–geometry consistency (each atom's type is
+    frozen at the reverse step where it unmasks, so the draw happens under
+    residual coordinate noise — damping the draw noise sharpens it)."""
     pred_post = q_posterior_logits(tables, predicted_x0_logits, xt, t)
     g = _gumbel(key, pred_post.shape, pred_post.dtype)
     not_first = 0.2 + (t != 1).astype(pred_post.dtype) * 0.8
-    return jnp.argmax(pred_post + g * not_first[..., None], axis=-1)
+    return jnp.argmax(pred_post + g * (temperature * not_first[..., None]), axis=-1)

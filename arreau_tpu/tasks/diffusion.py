@@ -338,6 +338,7 @@ class DiffusionModel:
         lattice_type: str = "monoclinic",
         snapshot_every: Optional[int] = None,
         length_bounds: Optional[tuple[float, float]] = None,
+        type_temperature: float = 1.0,
     ) -> CrystalBatch:
         """Full reverse diffusion as one jit-compiled ``lax.fori_loop``
         (reference ``DiffusionLoss.sample``, diffusion_loss.py:276-377).
@@ -356,6 +357,10 @@ class DiffusionModel:
         training-data envelope breaks the loop without touching on-manifold
         trajectories. The reference has no such guard (its failure mode is
         unmeasured); pass None for strict reference semantics.
+
+        ``type_temperature``: gumbel-noise scale for the D3PM type draws
+        (1.0 = exact reference semantics, 0.0 = posterior argmax); see
+        :func:`d3pm_reverse_step`.
         """
         cfg = self.config
         B, A = num_samples, num_atoms_per_sample
@@ -390,7 +395,10 @@ class DiffusionModel:
                 )
             lengths = vp_reverse_given_x0(self.vp, k_lat, lengths, pred_lengths_scaled, t)
             frac = ve_reverse_step(self.ve, k_pos, frac, pred_eps, t)
-            types = d3pm_reverse_step(self.d3pm, k_type, types, pred_type_logits, t_atom)
+            types = d3pm_reverse_step(
+                self.d3pm, k_type, types, pred_type_logits, t_atom,
+                temperature=type_temperature,
+            )
             if constant_atoms is not None:
                 types = constant_atoms
             return frac, types, lengths, key

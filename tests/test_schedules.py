@@ -180,3 +180,25 @@ def test_d3pm_reverse_reaches_real_classes():
         t = jnp.full((B, A), timestep, dtype=jnp.int32)
         x = d3.d3pm_reverse_step(tbl, sub, x, logits, t)
     np.testing.assert_array_equal(np.asarray(x), np.asarray(target))
+
+
+def test_d3pm_reverse_temperature_zero_is_posterior_argmax():
+    """temperature=0 makes the reverse draw the deterministic posterior
+    argmax, independent of the RNG key; temperature=1 is the reference
+    gumbel draw."""
+    import jax
+    import jax.numpy as jnp
+
+    from arreau_tpu.diffusion import d3pm as d3
+
+    tbl = d3.make_d3pm_tables(num_steps=50, num_classes=6, forward_type="mask")
+    rng = jax.random.PRNGKey(0)
+    x0_logits = jax.random.normal(rng, (4, 8, 6)) * 3.0
+    xt = jnp.full((4, 8), 5)  # all MASK
+    t = jnp.full((4, 8), 30)
+
+    a = d3.d3pm_reverse_step(tbl, jax.random.PRNGKey(1), xt, x0_logits, t, temperature=0.0)
+    b = d3.d3pm_reverse_step(tbl, jax.random.PRNGKey(2), xt, x0_logits, t, temperature=0.0)
+    assert (a == b).all()
+    expected = jnp.argmax(d3.q_posterior_logits(tbl, x0_logits, xt, t), axis=-1)
+    assert (a == expected).all()
