@@ -66,6 +66,12 @@ def parse_args(argv=None):
                    help="model compute dtype; bfloat16 recommended on TPU")
     p.add_argument("--buckets", type=str, default=None,
                    help="comma-separated max-atom bucket ladder (fewer buckets = fewer compiled program variants)")
+    p.add_argument("--basis_bias", type=eval, default=False,
+                   help="biases in the basis-MLP Dense layers; False (default "
+                        "for new runs) removes a slow bias-grad reduction "
+                        "over the edge-basis tensor (~0.8 ms/step). Older "
+                        "checkpoints (pre-flag) restore with True via their "
+                        "recorded config")
     return p.parse_args(argv)
 
 
@@ -147,6 +153,7 @@ def main(argv=None):
         layer_scale=args.layer_scale if args.layer_scale != 0.0 else None,
         multiple_readouts=args.multiple_readouts,
         compute_dtype=args.compute_dtype,
+        basis_bias=args.basis_bias,
     )
     model = DiffusionModel(cfg)
 

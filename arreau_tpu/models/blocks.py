@@ -69,13 +69,18 @@ class BasisMLP(nn.Module):
     basis_dim: int
     degree: int
     dtype: Optional[jnp.dtype] = None
+    # bias-gradient reductions over the edge-basis tensor lower to slow XLA
+    # loop fusions at scale; use_bias=False removes them (see PonitaConfig)
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, attr: jax.Array) -> jax.Array:
         h = polynomial_features(attr, self.degree)
-        h = nn.Dense(self.hidden_dim, name="dense_in", dtype=self.dtype)(h)
+        h = nn.Dense(self.hidden_dim, name="dense_in", dtype=self.dtype,
+                     use_bias=self.use_bias)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.basis_dim, name="dense_out", dtype=self.dtype)(h)
+        h = nn.Dense(self.basis_dim, name="dense_out", dtype=self.dtype,
+                     use_bias=self.use_bias)(h)
         return nn.gelu(h)
 
 

@@ -74,6 +74,11 @@ class PonitaConfig:
     # fold the fiber mixing into the Pallas kernel too (measured slower on
     # v5e than the split kernel + XLA einsum — see blocks.FiberBundleConv)
     fuse_fiber: bool = False
+    # biases in the two basis-MLP Dense layers. The bias gradient of
+    # ``dense_out`` is a reduce over the [B',O,E,D] basis tensor that XLA
+    # lowers as a slow loop fusion (~2.8 ms/step at the canonical shape);
+    # True preserves the reference layer shapes / older checkpoints.
+    basis_bias: bool = True
 
 
 class FiberBundleInputs(NamedTuple):
@@ -228,12 +233,14 @@ class PonitaFiberBundle(nn.Module):
         if cdtype is not None:
             attr = attr.astype(cdtype)
         kernel_basis = BasisMLP(
-            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="basis_fn"
+            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,
+            use_bias=cfg.basis_bias, name="basis_fn"
         )(attr)
         if window is not None:
             kernel_basis = kernel_basis * window.astype(kernel_basis.dtype)
         fiber_kernel_basis = BasisMLP(
-            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype, name="fiber_basis_fn"
+            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,
+            use_bias=cfg.basis_bias, name="fiber_basis_fn"
         )(fiber_attr)
 
         # ---- Embed + interaction/readout stack --------------------------

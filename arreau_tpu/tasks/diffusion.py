@@ -102,6 +102,9 @@ class DiffusionConfig:
     remat: bool = False
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for TPU speed
     fuse_fiber: bool = False  # fold fiber mixing into the Pallas kernel
+    # basis-MLP Dense biases (see PonitaConfig.basis_bias); True matches the
+    # reference layer shapes and pre-existing checkpoints
+    basis_bias: bool = True
 
     @property
     def in_scalar_dim(self) -> int:
@@ -134,6 +137,7 @@ class DiffusionConfig:
             remat=self.remat,
             compute_dtype=self.compute_dtype,
             fuse_fiber=self.fuse_fiber,
+            basis_bias=self.basis_bias,
         )
 
 
