@@ -152,8 +152,12 @@ class FiberBundleConv(nn.Module):
                     fiber_kernel / num_ori,
                 )  # [B', P, TA, C] f32 — orientation-major for the next layer
             else:
+                # window_grad=False: no training path differentiates through
+                # positions (the window's only inputs), so its cotangent is
+                # dead work in the backward kernel
                 x_sp = fused_spatial_conv(
-                    kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask, window
+                    kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask,
+                    window, window_grad=False,
                 )  # [B', O, TA, C] f32
                 y = (
                     jnp.einsum(

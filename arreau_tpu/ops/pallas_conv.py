@@ -296,12 +296,18 @@ def _dot_tn(a, b):
     )
 
 
-def _bwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, win_ref, x_ref, g_ref,
-                        dbasis_ref, dwp_ref, dx_ref, dwin_ref):
+def _bwd_spatial_kernel(K, want_dwin, sel_ref, basis_ref, w_ref, win_ref,
+                        x_ref, g_ref, dbasis_ref, dwp_ref, dx_ref,
+                        dwin_ref=None):
     # All backward matmuls run 1-pass bf16 with f32 accumulation: HIGHEST on
     # f32 operands lowers to a 6-pass MXU decomposition (profiled at 5.5
     # ms/layer, 7x the forward); dx/dbasis are cast to bf16 on output anyway
     # and bf16 gradients are the standard training numerics.
+    #
+    # ``want_dwin=False`` skips the window cotangent entirely: the window is
+    # a function of positions only, and no training path differentiates
+    # through positions (grads are wrt params), so its [E, 1] reduce per
+    # (b', o) block is dead work.
     o = pl.program_id(1)
     TA, C = x_ref.shape[2], x_ref.shape[3]
     D = basis_ref.shape[3]
@@ -311,7 +317,8 @@ def _bwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, win_ref, x_ref, g_ref,
     @pl.when(o == 0)
     def _():
         dwp_ref[:] = jnp.zeros_like(dwp_ref)
-        dwin_ref[:] = jnp.zeros_like(dwin_ref)
+        if want_dwin:
+            dwin_ref[:] = jnp.zeros_like(dwin_ref)
 
     w = w_ref[:]
     x_o = x_ref[0, 0]
@@ -327,7 +334,8 @@ def _bwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, win_ref, x_ref, g_ref,
         kern_k = jnp.dot(basis_k, w, preferred_element_type=f32)
         xj_k = jnp.dot(sel_k, x_o, preferred_element_type=f32)
         gx_k = g_o * xj_k  # [TA, C]
-        dwin_ref[0, sl, :] += jnp.sum(kern_k * gx_k, axis=1, keepdims=True)
+        if want_dwin:
+            dwin_ref[0, sl, :] += jnp.sum(kern_k * gx_k, axis=1, keepdims=True)
         gxw_k = (gx_k * win_k).astype(bdt)
         dbasis_ref[0, 0, sl, :] = jnp.dot(
             gxw_k, w_t, preferred_element_type=f32
@@ -362,12 +370,28 @@ def _fwd_spatial(basis_om, w, x_om, sel, win):
     )(sel, basis_om, w, win, x_om)
 
 
-def _bwd_spatial(basis_om, w, x_om, sel, win, g):
+def _bwd_spatial(basis_om, w, x_om, sel, win, g, want_dwin=True):
     Bp, O, E, D = basis_om.shape
     TA, C = x_om.shape[2], x_om.shape[3]
     K = E // TA
-    dbasis, dwp, dx, dwin = pl.pallas_call(
-        partial(_bwd_spatial_kernel, K),
+    out_specs = [
+        pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, C), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, O, E, D), basis_om.dtype),
+        jax.ShapeDtypeStruct((Bp, D, C), jnp.float32),
+        jax.ShapeDtypeStruct((Bp, O, TA, C), x_om.dtype),
+    ]
+    if want_dwin:
+        # dwin accumulates across the (inner) o axis like dwp
+        out_specs.append(
+            pl.BlockSpec((1, E, 1), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Bp, E, 1), jnp.float32))
+    outs = pl.pallas_call(
+        partial(_bwd_spatial_kernel, K, want_dwin),
         grid=(Bp, O),
         in_specs=[
             pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -377,45 +401,53 @@ def _bwd_spatial(basis_om, w, x_om, sel, win, g):
             pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, C), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
-            # dwin accumulates across the (inner) o axis like dwp
-            pl.BlockSpec((1, E, 1), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, O, E, D), basis_om.dtype),
-            jax.ShapeDtypeStruct((Bp, D, C), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, O, TA, C), x_om.dtype),
-            jax.ShapeDtypeStruct((Bp, E, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
         compiler_params=None if _interpret() else _COMPILER_PARAMS,
     )(sel, basis_om, w, win, x_om, g.astype(jnp.float32))
-    return dbasis, dwp.sum(axis=0).astype(w.dtype), dx, dwin.astype(win.dtype)
+    if want_dwin:
+        dbasis, dwp, dx, dwin = outs
+        dwin = dwin.astype(win.dtype)
+    else:
+        dbasis, dwp, dx = outs
+        dwin = None
+    return dbasis, dwp.sum(axis=0).astype(w.dtype), dx, dwin
 
 
-@jax.custom_vjp
-def fused_spatial_conv(basis_om, w, x_om, sel, win):
-    """Spatial conv only (kernel matmul + window + gather + K-reduce); the
-    fiber mixing is left to XLA. Same layouts as :func:`fused_fiber_conv`
-    plus the per-edge window ``win [B', E, 1]`` (float32, differentiable).
-    Returns float32 [B', O, TA, C]."""
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_spatial_conv_p(window_grad, basis_om, w, x_om, sel, win):
     return _fwd_spatial(basis_om, w, x_om, sel, win)
 
 
-def _vjp_spatial_fwd(basis_om, w, x_om, sel, win):
+def _vjp_spatial_fwd(window_grad, basis_om, w, x_om, sel, win):
     return _fwd_spatial(basis_om, w, x_om, sel, win), (basis_om, w, x_om, sel, win)
 
 
-def _vjp_spatial_bwd(res, g):
+def _vjp_spatial_bwd(window_grad, res, g):
     basis_om, w, x_om, sel, win = res
-    dbasis, dw, dx, dwin = _bwd_spatial(basis_om, w, x_om, sel, win, g)
+    dbasis, dw, dx, dwin = _bwd_spatial(
+        basis_om, w, x_om, sel, win, g, want_dwin=window_grad
+    )
+    if dwin is None:
+        # symbolic zero: positions-only quantity, declared non-differentiated
+        dwin = jnp.zeros_like(win)
     return dbasis, dw, dx, None, dwin
 
 
-fused_spatial_conv.defvjp(_vjp_spatial_fwd, _vjp_spatial_bwd)
+_fused_spatial_conv_p.defvjp(_vjp_spatial_fwd, _vjp_spatial_bwd)
+
+
+def fused_spatial_conv(basis_om, w, x_om, sel, win, window_grad=True):
+    """Spatial conv only (kernel matmul + window + gather + K-reduce); the
+    fiber mixing is left to XLA. Same layouts as :func:`fused_fiber_conv`
+    plus the per-edge window ``win [B', E, 1]`` (float32).
+
+    ``window_grad=False`` skips the window cotangent in the backward kernel
+    (returns zeros for it): valid whenever nothing differentiates through
+    positions — true of every training path here, where gradients are wrt
+    params only. Returns float32 [B', O, TA, C]."""
+    return _fused_spatial_conv_p(window_grad, basis_om, w, x_om, sel, win)
 
 
 def reference_fiber_conv(basis, w, x, src, mask, fiber_kernel):
