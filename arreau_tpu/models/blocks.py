@@ -58,6 +58,19 @@ def sphere_to_vec(signal: jax.Array, ori_grid: jax.Array) -> jax.Array:
     return jnp.einsum("...ov,od->...vd", signal, ori_grid) / ori_grid.shape[-2]
 
 
+class _KernelParam(nn.Module):
+    """Bare ``kernel`` parameter under a named scope — creates the exact same
+    param tree entry as a bias-free ``nn.Dense`` (``<name>/kernel`` with
+    lecun-normal init) so the fused and flax BasisMLP paths share
+    checkpoints."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
 class BasisMLP(nn.Module):
     """Kernel-basis network: PolynomialFeatures -> Dense -> GELU -> Dense -> GELU.
 
@@ -72,9 +85,24 @@ class BasisMLP(nn.Module):
     # bias-gradient reductions over the edge-basis tensor lower to slow XLA
     # loop fusions at scale; use_bias=False removes them (see PonitaConfig)
     use_bias: bool = True
+    # run the whole chain as one Pallas kernel per (b', o) block (requires the
+    # 4D kernel layout, no biases, degree <= 3; attributes are treated as
+    # non-differentiable data — see ops/pallas_basis.py). Same param tree as
+    # the flax path (dense_in/kernel, dense_out/kernel).
+    fused: bool = False
 
     @nn.compact
     def __call__(self, attr: jax.Array) -> jax.Array:
+        if self.fused and not self.use_bias and attr.ndim == 4 and self.degree <= 3:
+            from arreau_tpu.ops.pallas_basis import fused_basis_mlp
+
+            in_dim = polynomial_feature_dim(attr.shape[-1], self.degree)
+            w1 = _KernelParam((in_dim, self.hidden_dim), name="dense_in")()
+            w2 = _KernelParam((self.hidden_dim, self.basis_dim), name="dense_out")()
+            cdt = self.dtype or w1.dtype
+            return fused_basis_mlp(
+                attr.astype(cdt), w1.astype(cdt), w2.astype(cdt), self.degree, cdt
+            )
         h = polynomial_features(attr, self.degree)
         h = nn.Dense(self.hidden_dim, name="dense_in", dtype=self.dtype,
                      use_bias=self.use_bias)(h)

@@ -232,6 +232,12 @@ class PonitaFiberBundle(nn.Module):
         # HBM traffic in both autodiff directions
         if cdtype is not None:
             attr = attr.astype(cdtype)
+        # NOTE: ops/pallas_basis.py offers a fully-fused basis MLP kernel, but
+        # it measured ~3 ms/step SLOWER than this XLA chain at the canonical
+        # shape (the [E,7]@[7,258] poly-selection matmuls pad their
+        # 7-contraction to 128 on the MXU, and the in-kernel bf16 GELU VPU
+        # chains cost more than XLA's fused epilogues) — kept opt-in via
+        # BasisMLP(fused=True) with parity tests, not enabled here.
         kernel_basis = BasisMLP(
             cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,
             use_bias=cfg.basis_bias, name="basis_fn"

@@ -1,0 +1,212 @@
+"""Fused Pallas TPU kernel for the basis MLP (polynomial features -> Dense ->
+GELU -> Dense -> GELU) in the conv-kernel layout.
+
+The edge-basis tensor ``[B', O, E, D]`` is the largest intermediate of the
+backbone (~268 MB at the canonical shape). The XLA lowering of the basis MLP
+materializes the degree-3 polynomial expansion (~275 MB), a layout copy of
+it, both Dense outputs, and — in the backward pass — a slow loop fusion for
+the GELU backward chain; profiled together at ~6 ms/step out of 36.
+
+This kernel computes the whole chain per ``(b', o)`` grid cell with only the
+TINY attribute block ``[E, d+1]`` read from HBM and only the final basis
+block written (backward: only the two weight-gradient partials written):
+
+  * **Polynomial features as matmuls**: the tensor-power features
+    ``[x, x (x) x, x (x) x (x) x]`` (models/blocks.py:polynomial_features) are
+    monomials ``x_a * x_b * x_c``.  With a ones-channel appended to the
+    attributes, three constant one-hot selection matrices ``S_A, S_B, S_C``
+    of shape ``[d+1, F]`` give ``poly = (attr1 @ S_A) * (attr1 @ S_B) *
+    (attr1 @ S_C)`` — two MXU-trivial matmuls and two lane-wide elementwise
+    multiplies, in exactly the reference feature order.
+  * Forward: ``basis = gelu(gelu(poly @ W1) @ W2)`` accumulated in f32.
+  * Backward: recomputes the forward per block and emits per-``b'`` partials
+    of ``dW1``/``dW2`` (accumulated across the inner ``o`` axis, summed
+    outside). **No attribute cotangent is produced**: attributes are
+    functions of data (positions/lattice) only, never of parameters, so
+    their gradient is dead in every training path here (the custom VJP
+    returns zeros for it).
+
+**Measured result (v5e, canonical shape): ~3 ms/step SLOWER than the XLA
+chain** — the ``[E, d+1] @ [d+1, F]`` selection matmuls pad their tiny
+contraction dimension to 128 on the MXU (18x wasted passes), and the
+in-kernel bf16 GELU tanh chains on the VPU cost more than XLA's fused
+matmul epilogues. Kept as an opt-in (``BasisMLP(fused=True)``) with full
+parity tests, documenting the negative result; the flax path remains the
+production implementation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from arreau_tpu.ops.pallas_conv import _COMPILER_PARAMS, _interpret, _dot_tn
+
+
+def poly_selection_matrices(d: int, degree: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-hot ``[d+1, F]`` factor-selection matrices reproducing the exact
+    column order of ``polynomial_features`` (blocks.py): degree-1 block, then
+    the flattened outer-product blocks. Index ``d`` is the ones-channel."""
+    if degree < 1 or degree > 3:
+        raise ValueError(f"fused basis MLP supports degree 1..3, got {degree}")
+    cols = []
+    for f in range(d):
+        cols.append((f, d, d))
+    if degree >= 2:
+        for a in range(d):
+            for b in range(d):
+                cols.append((a, b, d))
+    if degree >= 3:
+        for a in range(d):
+            for b in range(d):
+                for c in range(d):
+                    cols.append((a, b, c))
+    F = len(cols)
+    sel = np.zeros((3, d + 1, F), np.float32)
+    for f, abc in enumerate(cols):
+        for i, a in enumerate(abc):
+            sel[i, a, f] = 1.0
+    return sel[0], sel[1], sel[2]
+
+
+def _poly_block(attr1, sa_ref, sb_ref, sc_ref):
+    """[E, d+1] -> [E, F] polynomial features via selection matmuls."""
+    f32 = jnp.float32
+    A = jnp.dot(attr1, sa_ref[:], preferred_element_type=f32)
+    B = jnp.dot(attr1, sb_ref[:], preferred_element_type=f32)
+    C = jnp.dot(attr1, sc_ref[:], preferred_element_type=f32)
+    return (A * B * C).astype(attr1.dtype)
+
+
+def _fwd_kernel(sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, w2_ref, out_ref):
+    # GELUs run in the compute dtype (bf16): the f32 tanh chain on the VPU
+    # costs ~2x and the flax path computes them in bf16 anyway
+    f32 = jnp.float32
+    cdt = w1_ref.dtype
+    poly = _poly_block(attr_ref[0, 0], sa_ref, sb_ref, sc_ref)
+    h = jax.nn.gelu(jnp.dot(poly, w1_ref[:], preferred_element_type=f32).astype(cdt))
+    basis = jax.nn.gelu(jnp.dot(h, w2_ref[:], preferred_element_type=f32).astype(cdt))
+    out_ref[0, 0] = basis.astype(out_ref.dtype)
+
+
+def _bwd_kernel(sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, w2_ref, g_ref,
+                dw1_ref, dw2_ref):
+    o = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(o == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+
+    cdt = w1_ref.dtype
+    poly = _poly_block(attr_ref[0, 0], sa_ref, sb_ref, sc_ref)
+    h_pre = jnp.dot(poly, w1_ref[:], preferred_element_type=f32).astype(cdt)
+    h, gelu1_vjp = jax.vjp(jax.nn.gelu, h_pre)
+    b_pre = jnp.dot(h, w2_ref[:], preferred_element_type=f32).astype(cdt)
+    _, gelu2_vjp = jax.vjp(jax.nn.gelu, b_pre)
+
+    g = g_ref[0, 0].astype(cdt)
+    (db_pre,) = gelu2_vjp(g)
+    dw2_ref[0] += _dot_tn(h, db_pre)
+    dh = jax.lax.dot_general(
+        db_pre, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ).astype(cdt)  # [E, H] = db_pre @ W2^T
+    (dh_pre,) = gelu1_vjp(dh)
+    dw1_ref[0] += _dot_tn(poly, dh_pre)
+
+
+def _fwd(attr1, w1, w2, sels, out_dtype):
+    Bp, O, E, d1 = attr1.shape
+    F, H = w1.shape
+    D = w2.shape[1]
+    sa, sb, sc = (jnp.asarray(s, attr1.dtype) for s in sels)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(Bp, O),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, d1), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, O, E, D), out_dtype),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+    )(sa, sb, sc, attr1, w1, w2)
+
+
+def _bwd(attr1, w1, w2, sels, g):
+    Bp, O, E, d1 = attr1.shape
+    F, H = w1.shape
+    D = w2.shape[1]
+    sa, sb, sc = (jnp.asarray(s, attr1.dtype) for s in sels)
+    dw1p, dw2p = pl.pallas_call(
+        _bwd_kernel,
+        grid=(Bp, O),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, d1), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, F, H), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, D), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, F, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H, D), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+    )(sa, sb, sc, attr1, w1, w2, g)
+    return dw1p.sum(axis=0).astype(w1.dtype), dw2p.sum(axis=0).astype(w2.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_basis_mlp(attr, w1, w2, degree, out_dtype):
+    """``gelu(gelu(poly_features(attr, degree) @ w1) @ w2)`` fused in VMEM.
+
+    attr: ``[B', O, E, d]`` invariant attributes (kernel layout).
+    w1: ``[F, H]``; w2: ``[H, D]`` (bias-free basis MLP weights, already in
+    compute dtype). Returns ``[B', O, E, D]`` in ``out_dtype``.
+
+    The attribute cotangent is NOT computed (zeros): attributes derive from
+    data only. Do not use under gradients wrt positions/lattice.
+    """
+    d = attr.shape[-1]
+    sels = poly_selection_matrices(d, degree)
+    ones = jnp.ones((*attr.shape[:-1], 1), attr.dtype)
+    attr1 = jnp.concatenate([attr, ones], axis=-1)
+    return _fwd(attr1, w1, w2, sels, out_dtype)
+
+
+def _vjp_fwd(attr, w1, w2, degree, out_dtype):
+    return fused_basis_mlp(attr, w1, w2, degree, out_dtype), (attr, w1, w2)
+
+
+def _vjp_bwd(degree, out_dtype, res, g):
+    attr, w1, w2 = res
+    d = attr.shape[-1]
+    sels = poly_selection_matrices(d, degree)
+    ones = jnp.ones((*attr.shape[:-1], 1), attr.dtype)
+    attr1 = jnp.concatenate([attr, ones], axis=-1)
+    dw1, dw2 = _bwd(attr1, w1, w2, sels, g.astype(jnp.float32))
+    return jnp.zeros_like(attr), dw1, dw2
+
+
+fused_basis_mlp.defvjp(_vjp_fwd, _vjp_bwd)

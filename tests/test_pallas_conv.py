@@ -210,3 +210,47 @@ def test_split_spatial_kernel_with_window_parity():
         np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(gx, np.asarray(gr[2]), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(gw, np.asarray(gr[3]), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_basis_mlp_matches_flax_oracle():
+    """fused_basis_mlp (interpret mode) == polynomial_features + bias-free
+    Dense/GELU chain, for values and weight gradients; the attribute
+    cotangent is intentionally zero."""
+    from arreau_tpu.models.blocks import BasisMLP, polynomial_feature_dim
+    from arreau_tpu.ops.pallas_basis import fused_basis_mlp
+
+    rng = np.random.default_rng(3)
+    Bp, O, E, d = 2, 4, 16, 6
+    H, D, degree = 12, 10, 3
+    attr = jnp.asarray(rng.normal(size=(Bp, O, E, d)), jnp.float32)
+
+    ref = BasisMLP(H, D, degree, use_bias=False)
+    params = ref.init(jax.random.PRNGKey(0), attr)
+    w1 = params["params"]["dense_in"]["kernel"]
+    w2 = params["params"]["dense_out"]["kernel"]
+    assert w1.shape == (polynomial_feature_dim(d, degree), H)
+
+    want = ref.apply(params, attr)
+    got = fused_basis_mlp(attr, w1, w2, degree, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # fused module path shares the param tree
+    fused_mod = BasisMLP(H, D, degree, use_bias=False, fused=True)
+    got_mod = fused_mod.apply(params, attr)
+    np.testing.assert_allclose(np.asarray(got_mod), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def loss_ref(w1, w2):
+        p = {"params": {"dense_in": {"kernel": w1}, "dense_out": {"kernel": w2}}}
+        return (ref.apply(p, attr) ** 2).sum()
+
+    def loss_fused(w1, w2):
+        return (fused_basis_mlp(attr, w1, w2, degree, jnp.float32) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(w1, w2)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(w1, w2)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
+    # attr cotangent is declared dead (zeros)
+    dattr = jax.grad(lambda at: (fused_basis_mlp(at, w1, w2, degree, jnp.float32) ** 2).sum())(attr)
+    assert float(jnp.abs(dattr).max()) == 0.0
