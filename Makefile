@@ -35,7 +35,7 @@ bench:
 # full reference recipe (main_nbody.py defaults: 10k epochs on the 3k-sample
 # nbody_small subset); reproduces the test MSE recorded in BASELINE.md
 train-nbody:
-	python -m arreau_tpu.cli.train_nbody --epochs=10000 --val_interval=20 --batch_size=100
+	python -m arreau_tpu.cli.train_nbody --epochs=10000 --val_interval=20 --batch_size=100 --lr=1e-3
 
 train-nbody-quick:
 	python -m arreau_tpu.cli.train_nbody --epochs=100 --batch_size=100
