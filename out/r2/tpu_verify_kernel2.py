@@ -40,11 +40,11 @@ def oracle(basis_om, w, x_om, sel, win_km):
     return msg.sum(axis=2)
 
 
-def loss_fused(basis_om, w, x_om, win_km):
+def loss_fused(basis_om, w, x_om, sel, win_km):
     return (fused_spatial_conv(basis_om, w, x_om, sel, win_km, window_grad=False) ** 2).sum()
 
 
-def loss_oracle(basis_om, w, x_om, win_km):
+def loss_oracle(basis_om, w, x_om, sel, win_km):
     return (oracle(basis_om, w, x_om, sel, win_km) ** 2).sum()
 
 
@@ -53,22 +53,23 @@ def rel(a, b):
     return float(np.max(np.abs(a - b) / (np.abs(b).max() + 1e-9)))
 
 
-y_f = jax.jit(lambda *a: fused_spatial_conv(*a[:4], a[4], window_grad=False))(
+y_f = jax.jit(lambda b_, w_, x_, s_, wn: fused_spatial_conv(b_, w_, x_, s_, wn, window_grad=False))(
     basis_om, w, x_om, sel, win_km
 )
 y_o = jax.jit(oracle)(basis_om, w, x_om, sel, win_km)
 report = {"fwd_max_rel": rel(y_f, y_o)}
 
-gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(basis_om, w, x_om, win_km)
-go = jax.jit(jax.grad(loss_oracle, argnums=(0, 1, 2)))(basis_om, w, x_om, win_km)
+gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(basis_om, w, x_om, sel, win_km)
+go = jax.jit(jax.grad(loss_oracle, argnums=(0, 1, 2)))(basis_om, w, x_om, sel, win_km)
 for name, a, b in zip(("dbasis", "dw", "dx"), gf, go):
     report[f"{name}_max_rel"] = rel(a, b)
 
 # window cotangent (want_dwin path) still exact when requested
-gw_f = jax.jit(jax.grad(
-    lambda wn: (fused_spatial_conv(basis_om, w, x_om, sel, wn, window_grad=True) ** 2).sum()
-))(win_km)
-gw_o = jax.jit(jax.grad(lambda wn: loss_oracle(basis_om, w, x_om, wn)))(win_km)
+def loss_fused_win(b_, w_, x_, s_, wn):
+    return (fused_spatial_conv(b_, w_, x_, s_, wn, window_grad=True) ** 2).sum()
+
+gw_f = jax.jit(jax.grad(loss_fused_win, argnums=4))(basis_om, w, x_om, sel, win_km)
+gw_o = jax.jit(jax.grad(loss_oracle, argnums=4))(basis_om, w, x_om, sel, win_km)
 report["dwin_max_rel"] = rel(gw_f, gw_o)
 
 print(json.dumps(report, indent=2))
