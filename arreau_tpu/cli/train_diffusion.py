@@ -66,12 +66,14 @@ def parse_args(argv=None):
                    help="model compute dtype; bfloat16 recommended on TPU")
     p.add_argument("--buckets", type=str, default=None,
                    help="comma-separated max-atom bucket ladder (fewer buckets = fewer compiled program variants)")
-    p.add_argument("--basis_bias", type=eval, default=False,
-                   help="biases in the basis-MLP Dense layers; False (default "
-                        "for new runs) removes a slow bias-grad reduction "
-                        "over the edge-basis tensor (~0.8 ms/step). Older "
-                        "checkpoints (pre-flag) restore with True via their "
-                        "recorded config")
+    p.add_argument("--basis_bias", type=eval, default="in",
+                   help="basis-MLP Dense biases: True = both (reference "
+                        "shapes), 'in' (default for new runs) = dense_in "
+                        "only — keeps the constant kernel component but "
+                        "drops a slow dense_out bias-grad reduction; False "
+                        "= none (fastest; measured to degrade sample "
+                        "geometry). Older checkpoints (pre-flag) restore "
+                        "with True via their recorded config")
     return p.parse_args(argv)
 
 

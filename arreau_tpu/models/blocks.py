@@ -83,8 +83,14 @@ class BasisMLP(nn.Module):
     degree: int
     dtype: Optional[jnp.dtype] = None
     # bias-gradient reductions over the edge-basis tensor lower to slow XLA
-    # loop fusions at scale; use_bias=False removes them (see PonitaConfig)
+    # loop fusions at scale; use_bias=False removes them (see PonitaConfig).
+    # NOTE: the polynomial features carry no constant term, so with BOTH
+    # biases off the kernel basis is pinned to gelu(0)=0 at attr=0 — measured
+    # to visibly degrade generated-crystal geometry (BASELINE.md). ``out_bias``
+    # controls dense_out separately: bias on dense_in only keeps the constant
+    # component representable while dropping the largest bias-grad reduction.
     use_bias: bool = True
+    out_bias: Optional[bool] = None  # None = follow use_bias
     # run the whole chain as one Pallas kernel per (b', o) block (requires the
     # 4D kernel layout, no biases, degree <= 3; attributes are treated as
     # non-differentiable data — see ops/pallas_basis.py). Same param tree as
@@ -93,7 +99,9 @@ class BasisMLP(nn.Module):
 
     @nn.compact
     def __call__(self, attr: jax.Array) -> jax.Array:
-        if self.fused and not self.use_bias and attr.ndim == 4 and self.degree <= 3:
+        out_bias = self.use_bias if self.out_bias is None else self.out_bias
+        if (self.fused and not self.use_bias and not out_bias
+                and attr.ndim == 4 and self.degree <= 3):
             from arreau_tpu.ops.pallas_basis import fused_basis_mlp
 
             in_dim = polynomial_feature_dim(attr.shape[-1], self.degree)
@@ -108,7 +116,7 @@ class BasisMLP(nn.Module):
                      use_bias=self.use_bias)(h)
         h = nn.gelu(h)
         h = nn.Dense(self.basis_dim, name="dense_out", dtype=self.dtype,
-                     use_bias=self.use_bias)(h)
+                     use_bias=out_bias)(h)
         return nn.gelu(h)
 
 

@@ -74,11 +74,12 @@ class PonitaConfig:
     # fold the fiber mixing into the Pallas kernel too (measured slower on
     # v5e than the split kernel + XLA einsum — see blocks.FiberBundleConv)
     fuse_fiber: bool = False
-    # biases in the two basis-MLP Dense layers. The bias gradient of
-    # ``dense_out`` is a reduce over the [B',O,E,D] basis tensor that XLA
-    # lowers as a slow loop fusion (~2.8 ms/step at the canonical shape);
-    # True preserves the reference layer shapes / older checkpoints.
-    basis_bias: bool = True
+    # biases in the basis-MLP Dense layers: True = both (reference layer
+    # shapes / older checkpoints), "in" = dense_in only (keeps the constant
+    # kernel component; drops the slow [B',O,E,D] dense_out bias-grad loop
+    # fusion, ~0.8 ms/step), False = none (fastest, but the kernel basis is
+    # pinned to 0 at attr=0 — measured to degrade sample geometry).
+    basis_bias: "bool | str" = True
 
 
 class FiberBundleInputs(NamedTuple):
@@ -238,15 +239,21 @@ class PonitaFiberBundle(nn.Module):
         # 7-contraction to 128 on the MXU, and the in-kernel bf16 GELU VPU
         # chains cost more than XLA's fused epilogues) — kept opt-in via
         # BasisMLP(fused=True) with parity tests, not enabled here.
+        # basis_bias: True = biases on both Dense layers (reference shapes),
+        # "in" = dense_in only (keeps the constant kernel component while
+        # dropping the expensive dense_out bias-grad reduction), False = none
+        # (fastest; measured to hurt generated-crystal geometry — BASELINE.md)
+        bb_in = cfg.basis_bias is True or cfg.basis_bias == "in"
+        bb_out = cfg.basis_bias is True
         kernel_basis = BasisMLP(
             cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,
-            use_bias=cfg.basis_bias, name="basis_fn"
+            use_bias=bb_in, out_bias=bb_out, name="basis_fn"
         )(attr)
         if window is not None:
             kernel_basis = kernel_basis * window.astype(kernel_basis.dtype)
         fiber_kernel_basis = BasisMLP(
             cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,
-            use_bias=cfg.basis_bias, name="fiber_basis_fn"
+            use_bias=bb_in, out_bias=bb_out, name="fiber_basis_fn"
         )(fiber_attr)
 
         # ---- Embed + interaction/readout stack --------------------------

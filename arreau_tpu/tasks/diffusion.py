@@ -102,9 +102,9 @@ class DiffusionConfig:
     remat: bool = False
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for TPU speed
     fuse_fiber: bool = False  # fold fiber mixing into the Pallas kernel
-    # basis-MLP Dense biases (see PonitaConfig.basis_bias); True matches the
-    # reference layer shapes and pre-existing checkpoints
-    basis_bias: bool = True
+    # basis-MLP Dense biases (see PonitaConfig.basis_bias): True, "in", False.
+    # True matches the reference layer shapes and pre-existing checkpoints.
+    basis_bias: "bool | str" = True
 
     @property
     def in_scalar_dim(self) -> int:
