@@ -66,14 +66,13 @@ def parse_args(argv=None):
                    help="model compute dtype; bfloat16 recommended on TPU")
     p.add_argument("--buckets", type=str, default=None,
                    help="comma-separated max-atom bucket ladder (fewer buckets = fewer compiled program variants)")
-    p.add_argument("--basis_bias", type=eval, default="in",
-                   help="basis-MLP Dense biases: True = both (reference "
-                        "shapes), 'in' (default for new runs) = dense_in "
-                        "only — keeps the constant kernel component but "
-                        "drops a slow dense_out bias-grad reduction; False "
-                        "= none (fastest; measured to degrade sample "
-                        "geometry). Older checkpoints (pre-flag) restore "
-                        "with True via their recorded config")
+    p.add_argument("--basis_bias", type=eval, default=True,
+                   help="basis-MLP Dense biases: True (default) = both — the "
+                        "reference shapes and the best measured sample "
+                        "geometry; 'in' = dense_in only (+1.5%% steps/s, "
+                        "mildly worse geometry); False = none (+3%% steps/s, "
+                        "measurably worse geometry — see BASELINE.md "
+                        "ablation)")
     return p.parse_args(argv)
 
 

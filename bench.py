@@ -53,9 +53,7 @@ def build(batch_size: int, max_atoms: int):
     from arreau_tpu.train.state import create_train_state
 
     z_table = synthetic_z_table()
-    cfg = DiffusionConfig(
-        num_atomic_states=len(z_table), compute_dtype="bfloat16", basis_bias=False
-    )
+    cfg = DiffusionConfig(num_atomic_states=len(z_table), compute_dtype="bfloat16")
     model = DiffusionModel(cfg)
 
     rng = np.random.default_rng(0)
