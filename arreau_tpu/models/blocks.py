@@ -71,6 +71,25 @@ class _KernelParam(nn.Module):
         return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
 
 
+class _DenseParams(nn.Module):
+    """Bare ``kernel`` (+ optional ``bias``) parameters under a named scope —
+    the exact param tree of an ``nn.Dense`` (lecun-normal kernel, zeros bias)
+    for fused-kernel paths that consume the weights directly."""
+
+    shape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, Optional[jax.Array]]:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.shape[1],))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class BasisMLP(nn.Module):
     """Kernel-basis network: PolynomialFeatures -> Dense -> GELU -> Dense -> GELU.
 
@@ -118,6 +137,51 @@ class BasisMLP(nn.Module):
         h = nn.Dense(self.basis_dim, name="dense_out", dtype=self.dtype,
                      use_bias=out_bias)(h)
         return nn.gelu(h)
+
+
+class MultiBasisMLP(nn.Module):
+    """BasisMLP variant for the Pallas conv path: same parameter tree
+    (``dense_in/{kernel,bias}``, ``dense_out/{kernel,bias}``) and identical
+    forward numerics, but returns ``n_out`` aliased copies of the basis (one
+    per consuming conv layer) through :func:`ops.pallas_basis.basis_mlp_multi`,
+    whose fused Pallas backward consumes the per-layer cotangents directly —
+    eliminating the bandwidth-bound N-way dbasis sum + GELU-backward loop
+    fusion that XLA otherwise materializes (~2.8 ms/step at the canonical
+    shape, see out/r3 phase table).
+
+    Attributes are treated as non-differentiable data (no poly cotangent):
+    do not differentiate through positions/lattice with this path.
+    """
+
+    hidden_dim: int
+    basis_dim: int
+    degree: int
+    n_out: int
+    dtype: Optional[jnp.dtype] = None
+    use_bias: bool = True
+    out_bias: Optional[bool] = None  # None = follow use_bias
+
+    @nn.compact
+    def __call__(self, attr: jax.Array) -> tuple:
+        from arreau_tpu.ops.pallas_basis import basis_mlp_multi
+
+        out_bias = self.use_bias if self.out_bias is None else self.out_bias
+        in_dim = polynomial_feature_dim(attr.shape[-1], self.degree)
+        w1, b1 = _DenseParams(
+            (in_dim, self.hidden_dim), self.use_bias, name="dense_in"
+        )()
+        w2, b2 = _DenseParams(
+            (self.hidden_dim, self.basis_dim), out_bias, name="dense_out"
+        )()
+        if b1 is None:
+            b1 = jnp.zeros((self.hidden_dim,), w1.dtype)
+        if b2 is None:
+            b2 = jnp.zeros((self.basis_dim,), w2.dtype)
+        cdt = self.dtype or w1.dtype
+        return basis_mlp_multi(
+            attr.astype(cdt), w1.astype(cdt), b1.astype(cdt),
+            w2.astype(cdt), b2.astype(cdt), self.degree, self.n_out,
+        )
 
 
 class FiberBundleConv(nn.Module):

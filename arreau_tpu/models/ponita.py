@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from arreau_tpu.models.blocks import (
     BasisMLP,
     ConvNextBlock,
+    MultiBasisMLP,
     scalar_to_sphere,
     sphere_to_scalar,
     sphere_to_vec,
@@ -206,7 +207,7 @@ class PonitaFiberBundle(nn.Module):
             # tensors before the big MLPs (pointwise over rows,
             # layout-agnostic) — the 100x larger basis tensor is produced
             # directly in kernel layout, in both directions of autodiff.
-            tile = pick_tile(B_, A_)
+            tile = pick_tile(B_, A_, target=128)
             Bp = B_ // tile
             # attr [B, A, K, O, F] -> [B', O, K, T, A, F] -> [B', O, E, F]
             attr = attr.reshape(Bp, tile, A_, K_, O_, attr.shape[-1])
@@ -245,12 +246,24 @@ class PonitaFiberBundle(nn.Module):
         # (fastest; measured to hurt generated-crystal geometry — BASELINE.md)
         bb_in = cfg.basis_bias is True or cfg.basis_bias == "in"
         bb_out = cfg.basis_bias is True
-        kernel_basis = BasisMLP(
-            cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,
-            use_bias=bb_in, out_bias=bb_out, name="basis_fn"
-        )(attr)
-        if window is not None:
-            kernel_basis = kernel_basis * window.astype(kernel_basis.dtype)
+        # Production TPU path (split Pallas conv): the basis is consumed by
+        # exactly the num_layers conv kernels, so MultiBasisMLP returns one
+        # aliased copy per layer and its fused Pallas backward takes the
+        # per-layer cotangents directly (no XLA N-way dbasis sum fusion).
+        fused_basis = use_pallas and not cfg.fuse_fiber
+        if fused_basis:
+            kernel_bases = MultiBasisMLP(
+                cfg.hidden_dim, cfg.basis_dim, cfg.degree, n_out=cfg.num_layers,
+                dtype=cdtype, use_bias=bb_in, out_bias=bb_out, name="basis_fn",
+            )(attr)
+        else:
+            kernel_basis = BasisMLP(
+                cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,
+                use_bias=bb_in, out_bias=bb_out, name="basis_fn"
+            )(attr)
+            if window is not None:
+                kernel_basis = kernel_basis * window.astype(kernel_basis.dtype)
+            kernel_bases = (kernel_basis,) * cfg.num_layers
         fiber_kernel_basis = BasisMLP(
             cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,
             use_bias=bb_in, out_bias=bb_out, name="fiber_basis_fn"
@@ -289,7 +302,7 @@ class PonitaFiberBundle(nn.Module):
                 return_messages=need_messages,
                 fuse_fiber=cfg.fuse_fiber,
                 name=f"layer_{i}",
-            )(x, kernel_basis, fiber_kernel_basis, conv_src, conv_mask, conv_window)
+            )(x, kernel_bases[i], fiber_kernel_basis, conv_src, conv_mask, conv_window)
             if cfg.multiple_readouts or i == cfg.num_layers - 1:
                 readouts.append(nn.Dense(out_total, name=f"readout_{i}")(x))
                 if cfg.output_dim_edge_scalar > 0:

@@ -210,3 +210,153 @@ def _vjp_bwd(degree, out_dtype, res, g):
 
 
 fused_basis_mlp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-consumer basis MLP with a fused Pallas BACKWARD (round-3 production
+# path). The forward stays the plain XLA chain (bit-identical numerics to the
+# flax BasisMLP); the custom VJP hands the N conv layers' dbasis cotangents
+# DIRECTLY to one Pallas kernel that fuses, per (b', o) block:
+#
+#   g = sum_i g_i                  (the 5-way add that XLA materializes as a
+#                                   ~1.9 GB bandwidth-bound loop fusion)
+#   gelu-backward of both layers   (VPU, VMEM-resident)
+#   dW2 += h1^T @ dpre2, db2 += colsum(dpre2)
+#   dh1  = dpre2 @ W2^T
+#   dW1 += poly^T @ dpre1, db1 += colsum(dpre1)
+#
+# No attribute/poly cotangent is produced: attributes derive from positions/
+# lattice only, which no training path differentiates. Profiled motivation:
+# out/r3 phase table — basis_mlp_bwd was 5.23 ms/step, 2.78 ms of which was
+# the dbasis-sum + GELU-backward loop fusion running at ~84% of HBM
+# speed-of-light; this kernel reads each cotangent exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _multi_bwd_kernel(n_g, sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, *refs):
+    g_refs = refs[:n_g]
+    dw1_ref, db1_ref, dw2_ref, db2_ref = refs[n_g:]
+    o = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(o == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    cdt = w1_ref.dtype
+    # Recompute the polynomial features in-kernel from the TINY attr block
+    # (selection matmuls pad their 7-contraction on the MXU, ~0.6 ms/step,
+    # but an XLA-side recompute materializes the 270 MB poly tensor instead,
+    # ~1.7 ms/step — measured, out/r3).
+    poly = _poly_block(attr_ref[0, 0], sa_ref, sb_ref, sc_ref)
+    # recompute forward (pre-activations) exactly as the flax chain: dot in
+    # the compute dtype with f32 accumulation, bias add, then bf16 GELU
+    h1_pre = (jnp.dot(poly, w1_ref[:], preferred_element_type=f32)
+              + b1_ref[0].astype(f32)).astype(cdt)
+    h1, gelu1_vjp = jax.vjp(jax.nn.gelu, h1_pre)
+    h2_pre = (jnp.dot(h1, w2_ref[:], preferred_element_type=f32)
+              + b2_ref[0].astype(f32)).astype(cdt)
+    _, gelu2_vjp = jax.vjp(jax.nn.gelu, h2_pre)
+
+    g = g_refs[0][0, 0].astype(f32)
+    for gr in g_refs[1:]:
+        g = g + gr[0, 0].astype(f32)
+    (dpre2,) = gelu2_vjp(g.astype(cdt))
+    dw2_ref[0] += _dot_tn(h1, dpre2)
+    db2_ref[0, 0] += jnp.sum(dpre2.astype(f32), axis=0)
+    dh1 = jax.lax.dot_general(
+        dpre2, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ).astype(cdt)  # dpre2 @ W2^T
+    (dpre1,) = gelu1_vjp(dh1)
+    dw1_ref[0] += _dot_tn(poly, dpre1)
+    db1_ref[0, 0] += jnp.sum(dpre1.astype(f32), axis=0)
+
+
+def _multi_bwd(attr1, w1, b1, w2, b2, sels, gs):
+    Bp, O, E, d1 = attr1.shape
+    F, H = w1.shape
+    D = w2.shape[1]
+    n_g = len(gs)
+    sa, sb, sc = (jnp.asarray(s, attr1.dtype) for s in sels)
+    g_spec = pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM)
+    dw1p, db1p, dw2p, db2p = pl.pallas_call(
+        partial(_multi_bwd_kernel, n_g),
+        grid=(Bp, O),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, d1), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [g_spec] * n_g,
+        out_specs=[
+            pl.BlockSpec((1, F, H), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, D), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, F, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1, D), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+    )(sa, sb, sc, attr1, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), *gs)
+    return (
+        dw1p.sum(axis=0).astype(w1.dtype),
+        db1p.sum(axis=0)[0].astype(b1.dtype),
+        dw2p.sum(axis=0).astype(w2.dtype),
+        db2p.sum(axis=0)[0].astype(b2.dtype),
+    )
+
+
+def _poly_features(attr, degree):
+    from arreau_tpu.models.blocks import polynomial_features
+
+    return polynomial_features(attr, degree)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out):
+    """Basis MLP ``gelu(gelu(poly(attr) @ W1 + b1) @ W2 + b2)`` returned as
+    ``n_out`` aliased copies (one per consuming conv layer), with a fused
+    Pallas backward that takes the ``n_out`` cotangents directly.
+
+    attr: ``[B', O, E, d]`` kernel-layout invariant attributes in the compute
+    dtype. w1 ``[F, H]``, b1 ``[H]``, w2 ``[H, D]``, b2 ``[D]`` in the
+    compute dtype. Forward is the plain XLA chain (numerics identical to
+    ``BasisMLP``, polynomial expansion fused into the first matmul); the
+    backward recomputes the polynomial features in XLA (cheap elementwise)
+    and hands them plus the ``n_out`` cotangents to one Pallas kernel. Pass
+    zeros for an absent bias. The attr cotangent is NOT computed — do not
+    differentiate through positions/lattice."""
+    poly = _poly_features(attr, degree)
+    h1 = jax.nn.gelu((jnp.dot(poly, w1) + b1).astype(w1.dtype))
+    basis = jax.nn.gelu((jnp.dot(h1, w2) + b2).astype(w2.dtype))
+    return (basis,) * n_out
+
+
+def _multi_vjp_fwd(attr, w1, b1, w2, b2, degree, n_out):
+    return basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out), (attr, w1, b1, w2, b2)
+
+
+def _multi_vjp_bwd(degree, n_out, res, gs):
+    attr, w1, b1, w2, b2 = res
+    d = attr.shape[-1]
+    sels = poly_selection_matrices(d, degree)
+    ones = jnp.ones((*attr.shape[:-1], 1), attr.dtype)
+    attr1 = jnp.concatenate([attr, ones], axis=-1)
+    dw1, db1, dw2, db2 = _multi_bwd(attr1, w1, b1, w2, b2, sels, list(gs))
+    return jnp.zeros_like(attr), dw1, db1, dw2, db2
+
+
+basis_mlp_multi.defvjp(_multi_vjp_fwd, _multi_vjp_bwd)

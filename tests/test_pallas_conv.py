@@ -254,3 +254,61 @@ def test_fused_basis_mlp_matches_flax_oracle():
     # attr cotangent is declared dead (zeros)
     dattr = jax.grad(lambda at: (fused_basis_mlp(at, w1, w2, degree, jnp.float32) ** 2).sum())(attr)
     assert float(jnp.abs(dattr).max()) == 0.0
+
+
+def test_basis_mlp_multi_matches_flax_oracle():
+    """basis_mlp_multi (fused Pallas backward, interpret mode) matches the
+    flax BasisMLP with biases: forward parity, and weight/bias grads when
+    each of the n_out aliased outputs is consumed by a different function."""
+    from arreau_tpu.models.blocks import BasisMLP, MultiBasisMLP, polynomial_features
+    from arreau_tpu.ops.pallas_basis import basis_mlp_multi
+
+    rng = np.random.default_rng(3)
+    Bp, O, E, d, H, D, degree, n_out = 2, 4, 16, 3, 16, 24, 3, 3
+    attr = jnp.asarray(rng.normal(size=(Bp, O, E, d)), jnp.float32)
+    coeffs = [jnp.asarray(rng.normal(size=(D,)), jnp.float32) for _ in range(n_out)]
+
+    ref = BasisMLP(H, D, degree, use_bias=True)
+    params = ref.init(jax.random.PRNGKey(0), attr)
+    # give the zero-init biases nontrivial values
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jnp.asarray(np.random.default_rng(7).normal(size=p.shape), p.dtype),
+        params,
+    )
+    pi, po = params["params"]["dense_in"], params["params"]["dense_out"]
+    w1, b1, w2, b2 = pi["kernel"], pi["bias"], po["kernel"], po["bias"]
+
+    want = ref.apply(params, attr)
+    got = basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out)
+    assert len(got) == n_out
+    for g in got:
+        np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # MultiBasisMLP module shares the BasisMLP param tree exactly
+    mod = MultiBasisMLP(H, D, degree, n_out=n_out, use_bias=True)
+    got_mod = mod.apply(params, attr)
+    np.testing.assert_allclose(np.asarray(got_mod[0]), np.asarray(want), rtol=2e-5, atol=2e-5)
+    init_mod = jax.tree.map(jnp.shape, mod.init(jax.random.PRNGKey(0), attr))
+    init_ref = jax.tree.map(jnp.shape, ref.init(jax.random.PRNGKey(0), attr))
+    assert init_mod == init_ref
+
+    def loss_ref(w1, b1, w2, b2):
+        p = {"params": {"dense_in": {"kernel": w1, "bias": b1},
+                        "dense_out": {"kernel": w2, "bias": b2}}}
+        y = ref.apply(p, attr)
+        return sum(((y * c) ** 2).sum() for c in coeffs)
+
+    def loss_multi(w1, b1, w2, b2):
+        ys = basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out)
+        return sum(((y * c) ** 2).sum() for y, c in zip(ys, coeffs))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(w1, b1, w2, b2)
+    g_multi = jax.grad(loss_multi, argnums=(0, 1, 2, 3))(w1, b1, w2, b2)
+    for a, b in zip(g_multi, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
+    # attr cotangent is declared dead (zeros)
+    dattr = jax.grad(
+        lambda a_: sum(((y) ** 2).sum() for y in basis_mlp_multi(a_, w1, b1, w2, b2, degree, n_out))
+    )(attr)
+    assert float(jnp.abs(dattr).max()) == 0.0
