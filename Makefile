@@ -54,3 +54,9 @@ relax:
 
 stats:
 	python -m arreau_tpu.exploration.dataset_stats
+
+eda:
+	python -m arreau_tpu.exploration.lattice_eda
+
+vp-check:
+	python -m arreau_tpu.exploration.vp_prior_check

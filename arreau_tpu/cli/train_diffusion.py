@@ -19,6 +19,20 @@ import os
 import numpy as np
 
 
+def _parse_basis_bias(value: str):
+    """Tri-state --basis_bias: True | False | in (quotes optional)."""
+    v = value.strip().strip("'\"")
+    if v in ("True", "true", "1"):
+        return True
+    if v in ("False", "false", "0"):
+        return False
+    if v == "in":
+        return "in"
+    raise argparse.ArgumentTypeError(
+        f"--basis_bias must be True, False or in (got {value!r})"
+    )
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Train the joint crystal diffusion model")
     # run parameters
@@ -51,6 +65,10 @@ def parse_args(argv=None):
     p.add_argument("--layer_scale", type=float, default=1e-6)
     p.add_argument("--multiple_readouts", type=eval, default=True)
     p.add_argument("--num_timesteps", type=int, default=1000)
+    p.add_argument("--mask_prob", type=float, default=0.02,
+                   help="D3PM per-step mask-transition probability (reference "
+                        "0.02); higher unmasks atom types earlier in the "
+                        "reverse chain (MI-ceiling experiment knob)")
     # infra
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--experiment_name", type=str, default=None)
@@ -66,10 +84,10 @@ def parse_args(argv=None):
                    help="model compute dtype; bfloat16 recommended on TPU")
     p.add_argument("--buckets", type=str, default=None,
                    help="comma-separated max-atom bucket ladder (fewer buckets = fewer compiled program variants)")
-    p.add_argument("--basis_bias", type=eval, default=True,
+    p.add_argument("--basis_bias", type=_parse_basis_bias, default=True,
                    help="basis-MLP Dense biases: True (default) = both — the "
                         "reference shapes and the best measured sample "
-                        "geometry; 'in' = dense_in only (+1.5%% steps/s, "
+                        "geometry; in = dense_in only (+1.5%% steps/s, "
                         "mildly worse geometry); False = none (+3%% steps/s, "
                         "measurably worse geometry — see BASELINE.md "
                         "ablation)")
@@ -155,6 +173,7 @@ def main(argv=None):
         multiple_readouts=args.multiple_readouts,
         compute_dtype=args.compute_dtype,
         basis_bias=args.basis_bias,
+        mask_prob=args.mask_prob,
     )
     model = DiffusionModel(cfg)
 
@@ -294,7 +313,9 @@ def main(argv=None):
             for m in jax.device_get(vpending):
                 weighted_update(vm, m)
             v = exact_loss(vm.compute())
-            print(f"epoch {epoch} | valid loss {v.get('loss', float('nan')):.4f}")
+            print(f"epoch {epoch} | valid loss {v.get('loss', float('nan')):.4f} "
+                  f"(coord {v.get('loss_coord', 0):.4f} type {v.get('loss_type', 0):.4f} "
+                  f"lattice {v.get('loss_lattice', 0):.4f})")
             if wandb_run:
                 wandb_run.log({f"valid/{k}": val for k, val in v.items()})
             ckpt.save(state, "last")
@@ -318,7 +339,9 @@ def main(argv=None):
     for m in jax.device_get(tpending):
         weighted_update(tmets, m)
     t = exact_loss(tmets.compute())
-    print(f"test loss {t.get('loss', float('nan')):.4f}")
+    print(f"test loss {t.get('loss', float('nan')):.4f} "
+          f"(coord {t.get('loss_coord', 0):.4f} type {t.get('loss_type', 0):.4f} "
+          f"lattice {t.get('loss_lattice', 0):.4f})")
     if wandb_run:
         wandb_run.log({f"test/{k}": v for k, v in t.items()})
         wandb_run.finish()

@@ -52,7 +52,9 @@ def parse_args(argv=None):
                         "batches (the 30 tiny steps/epoch are host-dispatch-"
                         "bound otherwise). Default (None): auto — on when "
                         "running on a single device. True forces the scan "
-                        "path (single-device execution, no DP)")
+                        "path (single-device execution, no DP). NOTE: "
+                        "--max_steps always forces the per-batch loop, "
+                        "overriding scan_epoch")
     return p.parse_args(argv)
 
 
@@ -145,6 +147,11 @@ def main(argv=None):
         (auto_scan if args.scan_epoch is None else args.scan_epoch)
         and args.max_steps is None
     )
+    if args.scan_epoch is True and args.max_steps is not None:
+        print(
+            "NOTE: --scan_epoch=True is ignored because --max_steps requires "
+            "the per-batch loop (the scanned epoch cannot stop mid-epoch)."
+        )
     if use_scan:
         from functools import partial
 

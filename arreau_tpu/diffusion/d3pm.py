@@ -45,11 +45,16 @@ def make_d3pm_tables(
     forward_type: str = "mask",
     hybrid_loss_coeff: float = 0.001,
     dtype=jnp.float32,
+    mask_prob: float = MASK_TRANSITION_PROB,
 ) -> D3PMTables:
     """Build the transition tables on the host (numpy, fp64) then cast.
 
-    ``mask``: per-step probability 0.02 of jumping to the absorbing last class;
-    ``uniform``: classic uniform D3PM with ``beta_t = 1/(T - t + 1)``.
+    ``mask``: per-step probability ``mask_prob`` (reference: 0.02,
+    /root/reference/diffusion/d3pm.py:33-40) of jumping to the absorbing last
+    class; ``uniform``: classic uniform D3PM with ``beta_t = 1/(T - t + 1)``.
+    Raising ``mask_prob`` shifts unmask times earlier in the reverse chain —
+    the knob for the type-geometry mutual-information ceiling experiment
+    (BASELINE.md).
     """
     betas = [1.0 / (num_steps - t + 1) for t in range(1, num_steps + 1)]
     one_step = np.zeros((num_steps, num_classes, num_classes), dtype=np.float64)
@@ -59,8 +64,8 @@ def make_d3pm_tables(
             np.fill_diagonal(mat, 1 - (num_classes - 1) * beta / num_classes)
         elif forward_type == "mask":
             mat = np.zeros((num_classes, num_classes))
-            mat[:, -1] = MASK_TRANSITION_PROB
-            np.fill_diagonal(mat, 1 - MASK_TRANSITION_PROB)
+            mat[:, -1] = mask_prob
+            np.fill_diagonal(mat, 1 - mask_prob)
             mat[-1, -1] = 1.0
         else:
             raise NotImplementedError(forward_type)

@@ -62,11 +62,67 @@ def build_equivariance_datasets(data_dir: str):
     return ds, splits, ds.z_table, EVAL_EQUIVARIANCE_TIMESTEP
 
 
+def compare_components(ckpt_dir: str, data_dir: str = "datasets/alexandria_hdf5",
+                       timestep: int | None = None, n_noise: int = 64):
+    """Per-component equivariance comparison on the trained model: evaluate
+    the SAME parameters on the original crystal and its rotation at the
+    pinned timestep, averaging each loss component over ``n_noise`` shared
+    noise draws. The coordinate-score term is the only rotation-SENSITIVE
+    component (type CE is rotation-insensitive by construction; the lattice
+    head consumes rotation-invariant lengths), so it carries the equivariance
+    evidence — reference semantics
+    (/root/reference/exploration/verify_model_is_equivariant.py:54-73) with a
+    quantitative per-term bound instead of a single mixed loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from arreau_tpu.cli.generate import load_model
+    from arreau_tpu.cli.train_diffusion import EVAL_EQUIVARIANCE_TIMESTEP
+    from arreau_tpu.data.crystal import pack_dense_batch
+
+    timestep = EVAL_EQUIVARIANCE_TIMESTEP if timestep is None else timestep
+    model, params, _ = load_model(ckpt_dir, "best", use_ema=False)
+    ds, splits, _, _ = build_equivariance_datasets(data_dir)
+    max_atoms = int(np.diff(ds.packed.offsets).max())
+
+    def batch_for(idx):
+        host = pack_dense_batch(ds, np.array([idx]), max_atoms)
+        return jax.tree.map(jnp.asarray, host)
+
+    @jax.jit
+    def eval_components(batch, key):
+        def one(k):
+            _, m = model.loss(params, k, batch, timestep=timestep)
+            return m
+
+        ms = jax.vmap(one)(jax.random.split(key, n_noise))
+        return {k: v.mean() for k, v in ms.items()}
+
+    key = jax.random.PRNGKey(0)  # SAME noise stream for both crystals
+    orig = {k: float(v) for k, v in eval_components(batch_for(0), key).items()}
+    rot = {k: float(v) for k, v in eval_components(batch_for(1), key).items()}
+
+    print(f"\nper-component equivariance check (timestep {timestep}, "
+          f"{n_noise} shared noise draws):")
+    print(f"{'component':<14s}{'original':>12s}{'rotated':>12s}{'rel gap':>10s}")
+    for comp in ("loss_coord", "loss_type", "loss_lattice", "loss"):
+        a, b = orig.get(comp), rot.get(comp)
+        if a is None:
+            continue
+        gap = abs(a - b) / max(abs(a), 1e-9)
+        marker = "  <- rotation-sensitive term" if comp == "loss_coord" else ""
+        print(f"{comp:<14s}{a:>12.4f}{b:>12.4f}{gap:>9.2%}{marker}")
+    return orig, rot
+
+
 def main():
     """Short training run; prints train/valid losses which should track each
-    other closely if (and only if) the model is equivariant."""
+    other closely if (and only if) the model is equivariant, then the
+    per-component original-vs-rotated comparison (the coord term is the
+    rotation-sensitive one)."""
     from arreau_tpu.cli.train_diffusion import main as train_main
 
+    ckpt_dir = "out/eval-equivariance-ckpt"
     train_main(
         [
             "--dataset", "eval-equivariance",
@@ -79,9 +135,10 @@ def main():
             "--layers", "2",
             "--num_ori", "8",
             "--log", "False",
-            "--checkpoint_dir", "out/eval-equivariance-ckpt",
+            "--checkpoint_dir", ckpt_dir,
         ]
     )
+    compare_components(ckpt_dir)
 
 
 if __name__ == "__main__":

@@ -71,6 +71,18 @@ class _KernelParam(nn.Module):
         return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
 
 
+class _LayerNormParams(nn.Module):
+    """Bare ``scale``/``bias`` parameters matching ``nn.LayerNorm``'s tree."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        scale = self.param("scale", nn.initializers.ones, self.shape)
+        bias = self.param("bias", nn.initializers.zeros, self.shape)
+        return scale, bias
+
+
 class _DenseParams(nn.Module):
     """Bare ``kernel`` (+ optional ``bias``) parameters under a named scope —
     the exact param tree of an ``nn.Dense`` (lecun-normal kernel, zeros bias)
@@ -211,6 +223,11 @@ class FiberBundleConv(nn.Module):
     # (two K passes + in-kernel dfk) loses more than the fwd gains — the
     # split spatial-kernel + XLA einsum is ~13% faster per layer fwd+bwd.
     fuse_fiber: bool = False
+    # Set True if anything differentiates through atom POSITIONS (forces,
+    # geometry relaxation): the radial window's cotangent is then computed in
+    # the backward kernel instead of skipped as dead work. All training paths
+    # here differentiate wrt params only, so the default skips it.
+    position_grads: bool = False
 
     @nn.compact
     def __call__(
@@ -252,12 +269,12 @@ class FiberBundleConv(nn.Module):
                     fiber_kernel / num_ori,
                 )  # [B', P, TA, C] f32 — orientation-major for the next layer
             else:
-                # window_grad=False: no training path differentiates through
-                # positions (the window's only inputs), so its cotangent is
-                # dead work in the backward kernel
+                # window_grad follows position_grads: unless something
+                # differentiates through positions (the window's only
+                # inputs), its cotangent is dead work in the backward kernel
                 x_sp = fused_spatial_conv(
                     kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask,
-                    window, window_grad=False,
+                    window, window_grad=self.position_grads,
                 )  # [B', O, TA, C] f32
                 y = (
                     jnp.einsum(
@@ -304,16 +321,62 @@ class ConvNextBlock(nn.Module):
     use_pallas: bool = False
     return_messages: bool = True
     fuse_fiber: bool = False
+    position_grads: bool = False
+    # Fold LN -> widen -> GELU -> narrow -> layer_scale -> +residual (+ the
+    # per-layer readout) into one Pallas kernel pair. MEASURED SLOWER on v5e
+    # than the XLA chain (+2.7 ms/step at the canonical shape): Mosaic
+    # serializes the VPU phases (GELU/LN and their backwards) against the
+    # MXU matmuls within a program, while XLA overlaps them as fusion
+    # prologues/epilogues across the dots. Kept opt-in with parity tests as
+    # a documented negative result (out/r3 phase table).
+    fuse_convnext: bool = False
 
     @nn.compact
-    def __call__(self, x, kernel_basis, fiber_kernel_basis, src, edge_mask, window=None):
+    def __call__(self, x, kernel_basis, fiber_kernel_basis, src, edge_mask,
+                 window=None, readout_params=None):
+        """Returns ``(x_out, messages, readout_or_None)``. ``readout_params``
+        (wr, br) — created by the caller so the param tree keeps the
+        top-level ``readout_i`` naming — are consumed by the fused Pallas
+        kernel's epilogue on the TPU path; on the flax path the caller
+        applies its own Dense and passes None."""
         residual = x
         x, messages = FiberBundleConv(
             self.channels, expected_degree=self.expected_degree, dtype=self.dtype,
             use_pallas=self.use_pallas, return_messages=self.return_messages,
-            fuse_fiber=self.fuse_fiber,
+            fuse_fiber=self.fuse_fiber, position_grads=self.position_grads,
             name="conv",
         )(x, kernel_basis, fiber_kernel_basis, src, edge_mask, window)
+
+        if (self.fuse_convnext and self.use_pallas
+                and not self.return_messages and self.dtype is not None):
+            # One fused kernel: LN -> widen -> GELU -> narrow -> layer_scale
+            # -> +residual (+ the per-layer readout as an epilogue matmul);
+            # same parameter tree as the flax chain below.
+            from arreau_tpu.ops.pallas_convnext import fused_convnext_mlp
+
+            C = self.channels
+            ln = _LayerNormParams((C,), name="norm")()
+            w1, b1 = _DenseParams((C, self.widening_factor * C), True,
+                                  name="linear_1")()
+            w2, b2 = _DenseParams((self.widening_factor * C, C), True,
+                                  name="linear_2")()
+            if self.layer_scale_init is not None:
+                gamma = self.param(
+                    "layer_scale",
+                    nn.initializers.constant(self.layer_scale_init),
+                    (C,), jnp.float32,
+                )
+            else:
+                gamma = jnp.ones((C,), jnp.float32)
+            wr, br = readout_params if readout_params is not None else (None, None)
+            cdt = self.dtype
+            out, readout = fused_convnext_mlp(
+                x.astype(jnp.float32), residual.astype(cdt), ln[0], ln[1],
+                w1.astype(cdt), b1.astype(cdt), w2.astype(cdt), b2.astype(cdt),
+                gamma, wr, br, cdt,
+            )
+            return out, messages, readout
+
         # LayerNorm statistics in f32; the normalized stream continues in the
         # compute dtype (bf16 on TPU) so saved activations/converts stay half
         # width through the MLP and the next layer's conv
@@ -331,4 +394,4 @@ class ConvNextBlock(nn.Module):
                 jnp.float32,
             )
             x = gamma.astype(x.dtype) * x
-        return residual + x, messages
+        return residual + x, messages, None

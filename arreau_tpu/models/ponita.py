@@ -75,6 +75,14 @@ class PonitaConfig:
     # fold the fiber mixing into the Pallas kernel too (measured slower on
     # v5e than the split kernel + XLA einsum — see blocks.FiberBundleConv)
     fuse_fiber: bool = False
+    # fold the ConvNext MLP tail + readout into a Pallas kernel (measured
+    # slower on v5e — VPU/MXU serialization; see blocks.ConvNextBlock)
+    fuse_convnext: bool = False
+    # Set True if anything differentiates through atom positions (forces,
+    # geometry relaxation): disables the dead-cotangent shortcuts (window
+    # cotangent skip, fused basis backward) that are only valid for
+    # params-only gradients. PonitaPointCloud force paths set this.
+    position_grads: bool = False
     # biases in the basis-MLP Dense layers: True = both (reference layer
     # shapes / older checkpoints), "in" = dense_in only (keeps the constant
     # kernel component; drops the slow [B',O,E,D] dense_out bias-grad loop
@@ -250,7 +258,7 @@ class PonitaFiberBundle(nn.Module):
         # exactly the num_layers conv kernels, so MultiBasisMLP returns one
         # aliased copy per layer and its fused Pallas backward takes the
         # per-layer cotangents directly (no XLA N-way dbasis sum fusion).
-        fused_basis = use_pallas and not cfg.fuse_fiber
+        fused_basis = use_pallas and not cfg.fuse_fiber and not cfg.position_grads
         if fused_basis:
             kernel_bases = MultiBasisMLP(
                 cfg.hidden_dim, cfg.basis_dim, cfg.degree, n_out=cfg.num_layers,
@@ -289,10 +297,24 @@ class PonitaFiberBundle(nn.Module):
         if cfg.remat:
             block_cls = nn.remat(ConvNextBlock, static_argnums=())
 
+        from arreau_tpu.models.blocks import _DenseParams
+
+        # the fused ConvNext kernel computes the per-layer readout as its
+        # epilogue (narrow [.., C] @ [C, out_total] matmuls waste the MXU as
+        # standalone XLA ops); params are created HERE so the tree keeps the
+        # top-level readout_i naming of the flax path
+        fused_block = (cfg.fuse_convnext and use_pallas and not need_messages
+                       and cdtype is not None)
         readouts = []
         edge_readouts = []
         for i in range(cfg.num_layers):
-            x, messages = block_cls(
+            want_readout = cfg.multiple_readouts or i == cfg.num_layers - 1
+            readout_params = None
+            if fused_block and want_readout:
+                readout_params = _DenseParams(
+                    (cfg.hidden_dim, out_total), True, name=f"readout_{i}"
+                )()
+            x, messages, fused_readout = block_cls(
                 cfg.hidden_dim,
                 widening_factor=cfg.widening_factor,
                 layer_scale_init=cfg.layer_scale,
@@ -301,10 +323,16 @@ class PonitaFiberBundle(nn.Module):
                 use_pallas=use_pallas,
                 return_messages=need_messages,
                 fuse_fiber=cfg.fuse_fiber,
+                fuse_convnext=cfg.fuse_convnext,
+                position_grads=cfg.position_grads,
                 name=f"layer_{i}",
-            )(x, kernel_bases[i], fiber_kernel_basis, conv_src, conv_mask, conv_window)
-            if cfg.multiple_readouts or i == cfg.num_layers - 1:
-                readouts.append(nn.Dense(out_total, name=f"readout_{i}")(x))
+            )(x, kernel_bases[i], fiber_kernel_basis, conv_src, conv_mask,
+              conv_window, readout_params)
+            if want_readout:
+                if fused_readout is not None:
+                    readouts.append(fused_readout)
+                else:
+                    readouts.append(nn.Dense(out_total, name=f"readout_{i}")(x))
                 if cfg.output_dim_edge_scalar > 0:
                     edge_in = jnp.concatenate([messages, edge_scalars_sphere], axis=-1)
                     edge_readouts.append(

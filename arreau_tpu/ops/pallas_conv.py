@@ -274,18 +274,22 @@ def _fwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
     # The window (smooth radial cutoff, per edge) is folded in here: applied
     # outside, it is a full elementwise pass over the [B', O, E, D] basis that
     # cannot fuse across the custom-call boundary (~536 MB round trip per
-    # direction); in-kernel it is a [TA, 1] broadcast on the edge kernel.
+    # direction); in-kernel it is an [E, 1] broadcast on the edge kernel.
+    #
+    # Whole-E matmuls (one [E, D] @ [D, C] instead of K [TA, D] slices): at
+    # the production tile TA=128 the [E, C] f32 temporaries are <1 MB, and
+    # the 8x-longer matmuls pipeline the MXU measurably better than the
+    # K-loop of short ones (the K-reduction becomes a [K, TA, C] sublane
+    # reshape-sum in VMEM).
     TA, C = x_ref.shape[2], x_ref.shape[3]
+    E = basis_ref.shape[2]
     f32 = jnp.float32
     x_o = x_ref[0, 0]
-    x_sp = jnp.zeros((TA, C), f32)
-    for k in range(K):
-        sl = slice(k * TA, (k + 1) * TA)
-        kern_k = jnp.dot(basis_ref[0, 0, sl, :], w_ref[:], preferred_element_type=f32)
-        kern_k = kern_k * win_ref[0, sl, :]  # [TA, 1] lane broadcast
-        xj_k = jnp.dot(sel_ref[0, sl, :], x_o, preferred_element_type=f32)
-        x_sp = x_sp + kern_k * xj_k
-    y_ref[0, 0] = x_sp
+    kern = jnp.dot(basis_ref[0, 0], w_ref[:], preferred_element_type=f32)
+    kern = kern * win_ref[0]  # [E, 1] lane broadcast
+    xj = jnp.dot(sel_ref[0], x_o, preferred_element_type=f32)
+    msg = (kern * xj).reshape(K, TA, C)
+    y_ref[0, 0] = msg.sum(axis=0)
 
 
 def _dot_tn(a, b):
@@ -322,29 +326,27 @@ def _bwd_spatial_kernel(K, want_dwin, sel_ref, basis_ref, w_ref, win_ref,
 
     w = w_ref[:]
     x_o = x_ref[0, 0]
+    E = basis_ref.shape[2]
     g_o = g_ref[0, 0].astype(f32)  # [TA, C]
     w_t = jax.lax.transpose(w, (1, 0))  # [C, D], tiny
-    dw_acc = jnp.zeros((D, C), f32)
-    dx = jnp.zeros((TA, C), f32)
-    for k in range(K):
-        sl = slice(k * TA, (k + 1) * TA)
-        basis_k = basis_ref[0, 0, sl, :]
-        sel_k = sel_ref[0, sl, :]
-        win_k = win_ref[0, sl, :]  # [TA, 1]
-        kern_k = jnp.dot(basis_k, w, preferred_element_type=f32)
-        xj_k = jnp.dot(sel_k, x_o, preferred_element_type=f32)
-        gx_k = g_o * xj_k  # [TA, C]
-        if want_dwin:
-            dwin_ref[0, sl, :] += jnp.sum(kern_k * gx_k, axis=1, keepdims=True)
-        gxw_k = (gx_k * win_k).astype(bdt)
-        dbasis_ref[0, 0, sl, :] = jnp.dot(
-            gxw_k, w_t, preferred_element_type=f32
-        ).astype(dbasis_ref.dtype)
-        dw_acc = dw_acc + _dot_tn(basis_k, gxw_k)
-        dxc_k = ((kern_k * win_k) * g_o).astype(bdt)
-        dx = dx + _dot_tn(sel_k, dxc_k)
-    dwp_ref[:] += dw_acc[None]
-    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+    # whole-E matmuls (see _fwd_spatial_kernel); the receiver cotangent g_o
+    # tiles over the K neighbor slots as k-major rows
+    basis = basis_ref[0, 0]  # [E, D]
+    sel = sel_ref[0]  # [E, TA]
+    win = win_ref[0]  # [E, 1]
+    kern = jnp.dot(basis, w, preferred_element_type=f32)
+    xj = jnp.dot(sel, x_o, preferred_element_type=f32)
+    g_e = jax.lax.broadcast_in_dim(g_o, (K, TA, C), (1, 2)).reshape(E, C)
+    gx = g_e * xj  # [E, C]
+    if want_dwin:
+        dwin_ref[0] += jnp.sum(kern * gx, axis=1, keepdims=True)
+    gxw = (gx * win).astype(bdt)
+    dbasis_ref[0, 0] = jnp.dot(
+        gxw, w_t, preferred_element_type=f32
+    ).astype(dbasis_ref.dtype)
+    dwp_ref[:] += _dot_tn(basis, gxw)[None]
+    dxc = ((kern * win) * g_e).astype(bdt)
+    dx_ref[0, 0] = _dot_tn(sel, dxc).astype(dx_ref.dtype)
 
 
 def _fwd_spatial(basis_om, w, x_om, sel, win):

@@ -1,0 +1,280 @@
+"""Fused Pallas TPU kernel for the ConvNext MLP tail + per-layer readout.
+
+Covers, per interaction layer (reference ConvNext,
+/root/reference/ponita/nn/convnext.py:4-33, + the per-layer readout Linear,
+ponita/models/ponita.py:96-101):
+
+    y    = LayerNorm(x_conv) -> Dense(C -> W) -> GELU -> Dense(W -> C)
+    out  = residual + layer_scale * y
+    r    = out @ W_r + b_r                       (optional readout epilogue)
+
+as ONE kernel per (b', o) block in both autodiff directions. Motivation
+(out/r3 phase table @ TA=128): the XLA lowering spends 6.2 ms/step on the
+ConvNext denses (~50% MFU on the backward dots) plus 1.1 ms/step on the
+narrow readout matmuls ([*, 200] @ [200, ~13] pads 16x on the MXU); fused,
+the readout rides the kernel's epilogue and the backward runs whole-block
+matmuls with VMEM-resident intermediates.
+
+Numerics match the flax chain exactly: LayerNorm statistics in f32
+(fast-variance, eps 1e-6), the widened MLP in the compute dtype (bf16) with
+f32 accumulation, layer_scale multiply and residual add in bf16, readout in
+f32. The backward recomputes the forward per block (nothing layer-wide is
+saved except the kernel inputs) and emits per-b' parameter-grad partials
+accumulated across the sequential o axis, summed outside.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from arreau_tpu.ops.pallas_conv import _COMPILER_PARAMS, _dot_tn, _interpret
+
+LN_EPS = 1e-6
+
+
+def _ln_affine(x, scale, bias):
+    """flax LayerNorm (fast variance) in f32."""
+    mu = x.mean(-1, keepdims=True)
+    var = (x * x).mean(-1, keepdims=True) - mu * mu
+    y = (x - mu) * jax.lax.rsqrt(var + LN_EPS)
+    return y * scale + bias
+
+
+def _forward_block(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, cdt):
+    f32 = jnp.float32
+    y_ln = _ln_affine(xc.astype(f32), ln_s.astype(f32), ln_b.astype(f32))
+    yl = y_ln.astype(cdt)
+    pre1 = (jnp.dot(yl, w1, preferred_element_type=f32) + b1.astype(f32)).astype(cdt)
+    h = jax.nn.gelu(pre1)
+    m = (jnp.dot(h, w2, preferred_element_type=f32) + b2.astype(f32)).astype(cdt)
+    out = res + gamma.astype(cdt) * m
+    return out, (yl, pre1, h, m)
+
+
+def _fwd_kernel(has_r, cdt, xc_ref, res_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, g_ref, *refs):
+    if has_r:
+        wr_ref, br_ref, out_ref, r_ref = refs
+    else:
+        (out_ref,) = refs
+    out, _ = _forward_block(
+        xc_ref[0, 0], res_ref[0, 0], lns_ref[0], lnb_ref[0], w1_ref[:],
+        b1_ref[0], w2_ref[:], b2_ref[0], g_ref[0], cdt,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+    if has_r:
+        r = jnp.dot(out.astype(jnp.float32), wr_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32) + br_ref[0].astype(jnp.float32)
+        r_ref[0, 0] = r
+
+
+def _bwd_kernel(has_r, cdt, xc_ref, res_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, g_ref, *refs):
+    i = 0
+    if has_r:
+        wr_ref, br_ref = refs[0], refs[1]
+        i = 2
+    gout_ref = refs[i]
+    gr_ref = refs[i + 1] if has_r else None
+    outs = refs[i + 1 + (1 if has_r else 0):]
+    (dxc_ref, dres_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+     db2_ref, dg_ref) = outs[:9]
+    if has_r:
+        dwr_ref, dbr_ref = outs[9], outs[10]
+
+    o = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(o == 0)
+    def _():
+        for ref in outs[2:]:
+            ref[:] = jnp.zeros_like(ref)
+
+    xc = xc_ref[0, 0].astype(f32)
+    ln_s, ln_b = lns_ref[0].astype(f32), lnb_ref[0].astype(f32)
+    w1, w2 = w1_ref[:], w2_ref[:]
+    gamma = g_ref[0]
+
+    # recompute forward with VJP closures for LN and GELU
+    (y_ln, ln_vjp) = jax.vjp(_ln_affine, xc, ln_s, ln_b)
+    yl = y_ln.astype(cdt)
+    pre1 = (jnp.dot(yl, w1, preferred_element_type=f32) + b1_ref[0].astype(f32)).astype(cdt)
+    h, gelu_vjp = jax.vjp(jax.nn.gelu, pre1)
+    m = (jnp.dot(h, w2, preferred_element_type=f32) + b2_ref[0].astype(f32)).astype(cdt)
+
+    g_total = gout_ref[0, 0].astype(f32)
+    if has_r:
+        out = res_ref[0, 0] + gamma.astype(cdt) * m
+        g_r = gr_ref[0, 0].astype(f32)
+        dwr_ref[0] += _dot_tn(out.astype(f32), g_r)
+        dbr_ref[0, 0] += jnp.sum(g_r, axis=0)
+        g_total = g_total + jax.lax.dot_general(
+            g_r, wr_ref[:].astype(f32), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    dg_ref[0, 0] += jnp.sum(g_total * m.astype(f32), axis=0)
+    dm = (g_total * gamma.astype(f32)).astype(cdt)
+    dw2_ref[0] += _dot_tn(h, dm)
+    db2_ref[0, 0] += jnp.sum(dm.astype(f32), axis=0)
+    dh = jax.lax.dot_general(
+        dm, w2, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ).astype(cdt)
+    (dpre1,) = gelu_vjp(dh)
+    dw1_ref[0] += _dot_tn(yl, dpre1)
+    db1_ref[0, 0] += jnp.sum(dpre1.astype(f32), axis=0)
+    dyln = jax.lax.dot_general(
+        dpre1, w1, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    dxc, dlns, dlnb = ln_vjp(dyln)
+    dlns_ref[0, 0] += dlns
+    dlnb_ref[0, 0] += dlnb
+    dxc_ref[0, 0] = dxc.astype(dxc_ref.dtype)
+    dres_ref[0, 0] = g_total.astype(dres_ref.dtype)
+
+
+def _bias2d(b):
+    return b.reshape(1, -1)
+
+
+def _specs_common(TA, C):
+    blk = pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return blk, full
+
+
+def _fwd(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br, cdt):
+    Bp, O, TA, C = xc.shape
+    has_r = wr is not None
+    blk, full = _specs_common(TA, C)
+    in_specs = [blk, blk] + [full] * (9 if has_r else 7)
+    out_shape = [jax.ShapeDtypeStruct((Bp, O, TA, C), res.dtype)]
+    out_specs = [blk]
+    args = [xc, res, ln_s.reshape(1, -1), ln_b.reshape(1, -1), w1, _bias2d(b1),
+            w2, _bias2d(b2), _bias2d(gamma)]
+    if has_r:
+        R = wr.shape[1]
+        args += [wr, _bias2d(br)]
+        out_shape.append(jax.ShapeDtypeStruct((Bp, O, TA, R), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, TA, R), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, has_r, cdt),
+        grid=(Bp, O),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+    )(*args)
+    if has_r:
+        return tuple(outs)
+    return outs[0], None
+
+
+def _bwd(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br, cdt, g_out, g_r):
+    Bp, O, TA, C = xc.shape
+    W = w1.shape[1]
+    has_r = wr is not None
+    blk, full = _specs_common(TA, C)
+    in_specs = [blk, blk] + [full] * (9 if has_r else 7) + [blk]
+    args = [xc, res, ln_s.reshape(1, -1), ln_b.reshape(1, -1), w1, _bias2d(b1),
+            w2, _bias2d(b2), _bias2d(gamma)]
+    if has_r:
+        args += [wr, _bias2d(br)]
+    args.append(g_out)
+    if has_r:
+        R = wr.shape[1]
+        in_specs.append(
+            pl.BlockSpec((1, 1, TA, R), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(g_r.astype(jnp.float32))
+
+    part = lambda shape: pl.BlockSpec(  # noqa: E731 — per-b' partials
+        (1, *shape), lambda b, o: (b, *(0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    out_specs = [blk, blk, part((1, C)), part((1, C)), part((C, W)),
+                 part((1, W)), part((W, C)), part((1, C)), part((1, C))]
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, O, TA, C), jnp.float32),   # dxc
+        jax.ShapeDtypeStruct((Bp, O, TA, C), res.dtype),     # dres
+        jax.ShapeDtypeStruct((Bp, 1, C), f32),               # dln_scale
+        jax.ShapeDtypeStruct((Bp, 1, C), f32),               # dln_bias
+        jax.ShapeDtypeStruct((Bp, C, W), f32),               # dw1
+        jax.ShapeDtypeStruct((Bp, 1, W), f32),               # db1
+        jax.ShapeDtypeStruct((Bp, W, C), f32),               # dw2
+        jax.ShapeDtypeStruct((Bp, 1, C), f32),               # db2
+        jax.ShapeDtypeStruct((Bp, 1, C), f32),               # dgamma
+    ]
+    if has_r:
+        out_specs += [part((C, R)), part((1, R))]
+        out_shape += [
+            jax.ShapeDtypeStruct((Bp, C, R), f32),
+            jax.ShapeDtypeStruct((Bp, 1, R), f32),
+        ]
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, has_r, cdt),
+        grid=(Bp, O),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+    )(*args)
+    (dxc, dres, dlns, dlnb, dw1, db1, dw2, db2, dg), rest = outs[:9], outs[9:]
+    sums = lambda p: p.sum(axis=0)  # noqa: E731
+    grads = dict(
+        dxc=dxc, dres=dres,
+        dlns=sums(dlns)[0], dlnb=sums(dlnb)[0],
+        dw1=sums(dw1), db1=sums(db1)[0],
+        dw2=sums(dw2), db2=sums(db2)[0],
+        dg=sums(dg)[0],
+    )
+    if has_r:
+        grads["dwr"] = sums(rest[0])
+        grads["dbr"] = sums(rest[1])[0]
+    return grads
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(11,))
+def fused_convnext_mlp(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br, cdt):
+    """LayerNorm -> Dense(C,W) -> GELU -> Dense(W,C) -> layer_scale ->
+    +residual, with an optional fused readout ``r = out @ wr + br``.
+
+    xc: ``[B', O, TA, C]`` float32 conv output; res: same shape in the
+    compute dtype ``cdt``. Returns ``(out [B', O, TA, C] cdt, r or None)``.
+    Pass ``wr=None, br=None`` for layers without a readout, and ``gamma`` of
+    ones when layer_scale is disabled (its grad flows to a constant and is
+    dropped by autodiff)."""
+    return _fwd(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br, cdt)
+
+
+def _vjp_fwd(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br, cdt):
+    y = _fwd(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br, cdt)
+    return y, (xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br)
+
+
+def _vjp_bwd(cdt, resids, gs):
+    xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br = resids
+    g_out, g_r = gs
+    if g_out is None:
+        g_out = jnp.zeros_like(res)
+    grads = _bwd(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br, cdt,
+                 g_out, g_r)
+    dwr = grads.get("dwr") if wr is not None else None
+    dbr = grads.get("dbr") if br is not None else None
+    return (grads["dxc"], grads["dres"], grads["dlns"].astype(ln_s.dtype),
+            grads["dlnb"].astype(ln_b.dtype), grads["dw1"].astype(w1.dtype),
+            grads["db1"].astype(b1.dtype), grads["dw2"].astype(w2.dtype),
+            grads["db2"].astype(b2.dtype), grads["dg"].astype(gamma.dtype),
+            dwr, dbr)
+
+
+fused_convnext_mlp.defvjp(_vjp_fwd, _vjp_bwd)

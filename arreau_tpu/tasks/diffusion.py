@@ -99,6 +99,11 @@ class DiffusionConfig:
     atom_type_loss_weight: float = 1.0
     lattice_loss_weight: float = 1.0
     fourier_seed: int = 1234
+    # D3PM per-step mask-transition probability (reference 0.02,
+    # /root/reference/diffusion/d3pm.py:33-40). Higher values unmask types
+    # EARLIER in the reverse chain (while coordinates still carry more
+    # noise) — the MI-ceiling experiment knob (BASELINE.md).
+    mask_prob: float = 0.02
     remat: bool = False
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for TPU speed
     fuse_fiber: bool = False  # fold fiber mixing into the Pallas kernel
@@ -155,7 +160,8 @@ class DiffusionModel:
             config.num_timesteps, power=LATTICE_POWER, clipmax=LATTICE_CLIPMAX, dtype=dtype
         )
         self.d3pm: D3PMTables = make_d3pm_tables(
-            config.num_timesteps, config.num_atomic_states, "mask", dtype=dtype
+            config.num_timesteps, config.num_atomic_states, "mask", dtype=dtype,
+            mask_prob=config.mask_prob,
         )
         # Fixed (non-trainable) Fourier frequencies, deterministic per seed —
         # reference stores them as a requires_grad=False nn.Parameter.

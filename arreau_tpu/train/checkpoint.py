@@ -5,6 +5,15 @@ Replaces the reference's Lightning ``ModelCheckpoint`` + ``save_hyperparameters`
 lightning_wrappers/callbacks.py:134-171): checkpoints are self-describing
 (config dict + z-table ride along) so generation needs no CLI args, best/last
 tracking is done by the caller via ``save(tag=...)``.
+
+Multi-host semantics (Lightning analog: rank-zero ModelCheckpoint): the
+orbax array save/restore calls are COLLECTIVE — every process must make them
+with the same tags — while all host-side sidecar IO (``meta.json``,
+``scores.json``, top-k eviction rmtree) happens on process 0 only. Ranked
+decisions are made on process 0 from the scoreboard and broadcast so every
+process issues the identical collective sequence even when per-host metric
+copies drift in the last bits. Assumes a shared checkpoint filesystem
+(GCS/NFS), the standard multi-host setup orbax itself requires.
 """
 
 from __future__ import annotations
@@ -25,14 +34,78 @@ def _meta_path(directory: str) -> str:
     return os.path.join(directory, "meta.json")
 
 
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _ckpt_mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()).reshape(-1), ("ckpt",))
+
+
+def _to_global(tree):
+    """Multi-host: lift fully-replicated HOST-LOCAL arrays (the DP-replicated
+    TrainState as produced by single-program code) to global jax.Arrays so
+    orbax can serialize them collectively. No-op in single-process runs and
+    for arrays that already carry a global sharding."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec
+
+    mesh = _ckpt_mesh()
+
+    def conv(x):
+        if isinstance(x, jax.Array) and x.sharding.is_fully_addressable:
+            return multihost_utils.host_local_array_to_global_array(
+                x, mesh, PartitionSpec()
+            )
+        return x
+
+    return jax.tree.map(conv, tree)
+
+
+def _to_host_local(tree):
+    """Inverse of :func:`_to_global` after a multi-host restore."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec
+
+    mesh = _ckpt_mesh()
+
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.sharding.is_fully_addressable:
+            return multihost_utils.global_array_to_host_local_array(
+                x, mesh, PartitionSpec()
+            )
+        return x
+
+    return jax.tree.map(conv, tree)
+
+
+def _broadcast_decision(values: "list[float]") -> "list[float]":
+    """Broadcast a small list of floats from process 0 to all processes, so
+    ranked-save decisions are made once and every process issues the same
+    collective save sequence. No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.broadcast_one_to_all(np.asarray(values, np.float64))
+    return [float(v) for v in np.asarray(arr)]
+
+
 class CheckpointManager:
     """Thin wrapper over orbax StandardCheckpointer with best/last tags."""
 
     def __init__(self, directory: str, meta: Optional[dict] = None):
         self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        if _is_primary():
+            os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
-        if meta is not None:
+        if meta is not None and _is_primary():
             with open(_meta_path(self.directory), "w") as f:
                 json.dump(meta, f, indent=2, default=str)
 
@@ -41,11 +114,12 @@ class CheckpointManager:
 
     def save(self, state: TrainState, tag: str = "last") -> None:
         target = self.path(tag)
-        self._ckptr.save(target, state, force=True)
+        self._ckptr.save(target, _to_global(state), force=True)
         self._ckptr.wait_until_finished()
 
     def restore(self, template: TrainState, tag: str = "last") -> TrainState:
-        return self._ckptr.restore(self.path(tag), template)
+        restored = self._ckptr.restore(self.path(tag), _to_global(template))
+        return _to_host_local(restored)
 
     def restore_raw(self, tag: str = "last"):
         """Restore without a template (raw pytree-of-arrays as saved).
@@ -83,25 +157,43 @@ class CheckpointManager:
     def save_ranked(self, state: TrainState, score: float, step: int, keep: int = 3) -> bool:
         """Keep the ``keep`` lowest-score checkpoints (tags ``best-<step>``)
         plus a ``best`` alias for the current minimum. Returns whether this
-        checkpoint entered the top-k."""
+        checkpoint entered the top-k.
+
+        Multi-host: the enter/is-best decision is made on process 0 (sole
+        reader of ``scores.json``) and broadcast, so every process issues the
+        identical collective orbax saves; sidecar writes and old-tag eviction
+        stay on process 0."""
         import shutil
 
-        board = self.load_scores()
-        ranked = [(float(s), t) for s, t in board["ranked"]]
-        if len(ranked) >= keep and score >= ranked[-1][0]:
+        if _is_primary():
+            board = self.load_scores()
+            ranked = [(float(s), t) for s, t in board["ranked"]]
+            enter = not (len(ranked) >= keep and score >= ranked[-1][0])
+            new_ranked = ranked
+            is_best = False
+            if enter:
+                new_ranked = sorted(
+                    ranked + [(float(score), f"best-{step}")], key=lambda st: st[0]
+                )
+                is_best = new_ranked[0][1] == f"best-{step}"
+            decision = [float(enter), float(is_best)]
+        else:
+            board = None
+            new_ranked = None
+            decision = [0.0, 0.0]
+        enter_f, is_best_f = _broadcast_decision(decision)
+        if not enter_f:
             return False
         tag = f"best-{step}"
         self.save(state, tag)
-        ranked.append((float(score), tag))
-        ranked.sort(key=lambda st: st[0])
-        for _, old_tag in ranked[keep:]:
-            shutil.rmtree(self.path(old_tag), ignore_errors=True)
-        ranked = ranked[:keep]
-        if ranked[0][1] == tag:
+        if is_best_f:
             self.save(state, "best")
-        board["ranked"] = [[s, t] for s, t in ranked]
-        with open(self._scores_path(), "w") as f:
-            json.dump(board, f, indent=2)
+        if _is_primary():
+            for _, old_tag in new_ranked[keep:]:
+                shutil.rmtree(self.path(old_tag), ignore_errors=True)
+            board["ranked"] = [[s, t] for s, t in new_ranked[:keep]]
+            with open(self._scores_path(), "w") as f:
+                json.dump(board, f, indent=2)
         return True
 
 

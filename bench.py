@@ -96,8 +96,38 @@ def measure(step, state, batch, flops_per_step=None, peak_tflops=PEAK_TFLOPS_BF1
     return out, state
 
 
-def step_flops(step, state, batch):
-    """XLA's own flop estimate for the compiled train step."""
+def pallas_step_flops(batch_size: int, max_atoms: int, hidden: int = 200,
+                      basis_dim: int = 256, num_ori: int = 16, layers: int = 5,
+                      max_neighbors: int = 8, attr_dim: int = 6, degree: int = 3):
+    """Hand-counted matmul FLOPs of the Pallas custom calls in one train step
+    (XLA's cost_analysis reports ZERO flops for custom calls, so the MFU
+    denominator must add these). Split-conv path (ops/pallas_conv.py)
+    + fused basis backward (ops/pallas_basis.py), real (unpadded) flops."""
+    from arreau_tpu.ops.pallas_conv import pick_tile
+
+    B, A, K, O, D, C = batch_size, max_atoms, max_neighbors, num_ori, basis_dim, hidden
+    T = pick_tile(B, A, target=128)
+    Bp, TA = B // T, T * A
+    E = K * TA
+    per_bo_fwd = (E * D * C + E * TA * C) * 2  # kern matmul + one-hot gather
+    # bwd: kern + xj recompute, dbasis, dW, dx-scatter
+    per_bo_bwd = (3 * E * D * C + 2 * E * TA * C) * 2
+    conv = layers * Bp * O * (per_bo_fwd + per_bo_bwd)
+    # fused basis backward kernel: poly selection (3 matmuls) + recompute
+    # h1/h2 + dW2 + dh1 + dW1 (BasisMLP hidden == model hidden_dim)
+    F = sum(attr_dim**i for i in range(1, degree + 1))
+    d1 = attr_dim + 1
+    H = hidden
+    per_bo_basis = (3 * E * d1 * F
+                    + 2 * (E * F * H)       # h1 recompute + dW1
+                    + 3 * (E * H * D)) * 2  # h2 recompute + dW2 + dh1
+    basis = Bp * O * per_bo_basis
+    return conv + basis
+
+
+def step_flops(step, state, batch, batch_size=None, max_atoms=None):
+    """XLA's flop estimate for the compiled step + hand-counted Pallas flops
+    (custom calls are invisible to cost_analysis)."""
     import jax
 
     try:
@@ -105,14 +135,19 @@ def step_flops(step, state, batch):
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
+        xla = float(ca.get("flops", 0.0)) or None
     except Exception:
         return None
+    if xla is None:
+        return None
+    if batch_size is not None:
+        xla += pallas_step_flops(batch_size, max_atoms)
+    return xla
 
 
 def bench_one(batch_size, max_atoms, peak_tflops, want_flops=True):
     model, state, step, batch, n_params = build(batch_size, max_atoms)
-    flops = step_flops(step, state, batch) if want_flops else None
+    flops = step_flops(step, state, batch, batch_size, max_atoms) if want_flops else None
     res, _ = measure(step, state, batch, flops, peak_tflops)
     res.update({"batch": batch_size, "max_atoms": max_atoms, "params_m": round(n_params / 1e6, 2)})
     return res
@@ -157,10 +192,45 @@ def bench_loader(peak_tflops):
     return {"steps_per_sec": round(n / dt, 3), "steps": n, "mode": "loader-in-loop"}
 
 
+SAMPLER_GRID = [(10, 4), (100, 8), (64, 16), (32, 64), (8, 128)]
+
+
+def bench_sampler(peak_tflops):
+    """Sampler throughput ladder: crystals/min + ms/step over a batch x atoms
+    grid (the reference generates at 10x4, main_diffusion_generate.py:57;
+    real crystals run to 236 atoms). Full T=1000 reverse chain per point."""
+    import time
+
+    import jax
+
+    model, state, step, batch, n_params = build(*CANONICAL)
+    params = state.params
+    rows = []
+    for bs, atoms in SAMPLER_GRID:
+        key = jax.random.PRNGKey(0)
+        out = model.sample(params, key, bs, atoms)  # compile + warm run
+        jax.block_until_ready(out.frac_x)
+        t0 = time.perf_counter()
+        out = model.sample(params, jax.random.PRNGKey(1), bs, atoms)
+        jax.block_until_ready(out.frac_x)
+        dt = time.perf_counter() - t0
+        T = model.config.num_timesteps
+        row = {
+            "batch": bs, "atoms": atoms,
+            "crystals_per_min": round(bs / dt * 60, 1),
+            "ms_per_reverse_step": round(dt / T * 1000, 3),
+            "batch_seconds": round(dt, 2),
+        }
+        rows.append(row)
+        print(f"sampler {bs}x{atoms}: {row}", file=sys.stderr, flush=True)
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--sweep", action="store_true")
     p.add_argument("--loader", action="store_true")
+    p.add_argument("--sampler", action="store_true")
     p.add_argument("--peak_tflops", type=float, default=PEAK_TFLOPS_BF16)
     args = p.parse_args()
 
@@ -178,10 +248,12 @@ def main():
     if args.loader:
         detail["loader"] = bench_loader(args.peak_tflops)
         print(f"loader-in-loop: {detail['loader']}", file=sys.stderr, flush=True)
+    if args.sampler:
+        detail["sampler"] = bench_sampler(args.peak_tflops)
 
     head = bench_one(*CANONICAL, args.peak_tflops)
     detail["canonical"] = head
-    if args.sweep or args.loader:
+    if args.sweep or args.loader or args.sampler:
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=2)
 

@@ -312,3 +312,63 @@ def test_basis_mlp_multi_matches_flax_oracle():
         lambda a_: sum(((y) ** 2).sum() for y in basis_mlp_multi(a_, w1, b1, w2, b2, degree, n_out))
     )(attr)
     assert float(jnp.abs(dattr).max()) == 0.0
+
+
+def test_fused_convnext_mlp_matches_flax_oracle():
+    """fused_convnext_mlp (interpret mode) == LayerNorm -> Dense -> GELU ->
+    Dense -> layer_scale -> +residual (+ readout Dense): forward and all
+    grads, in f32 where the comparison is exact to tolerance."""
+    import flax.linen as nn
+
+    from arreau_tpu.ops.pallas_convnext import fused_convnext_mlp
+
+    rng = np.random.default_rng(11)
+    Bp, O, TA, C, W, R = 2, 3, 8, 16, 32, 5
+    f32 = jnp.float32
+    xc = jnp.asarray(rng.normal(size=(Bp, O, TA, C)), f32)
+    res = jnp.asarray(rng.normal(size=(Bp, O, TA, C)), f32)
+    ln_s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)), f32)
+    ln_b = jnp.asarray(0.1 * rng.normal(size=(C,)), f32)
+    w1 = jnp.asarray(rng.normal(size=(C, W)) * 0.2, f32)
+    b1 = jnp.asarray(rng.normal(size=(W,)) * 0.1, f32)
+    w2 = jnp.asarray(rng.normal(size=(W, C)) * 0.2, f32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, f32)
+    gamma = jnp.asarray(rng.normal(size=(C,)) * 0.5, f32)
+    wr = jnp.asarray(rng.normal(size=(C, R)) * 0.3, f32)
+    br = jnp.asarray(rng.normal(size=(R,)) * 0.1, f32)
+
+    def oracle(xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br):
+        h = nn.LayerNorm().apply(
+            {"params": {"scale": ln_s, "bias": ln_b}}, xc.astype(f32)
+        )
+        h = jax.nn.gelu(h @ w1 + b1)
+        m = h @ w2 + b2
+        out = res + gamma * m
+        return out, out @ wr + br
+
+    args = (xc, res, ln_s, ln_b, w1, b1, w2, b2, gamma, wr, br)
+    out_p, r_p = fused_convnext_mlp(*args, f32)
+    out_o, r_o = oracle(*args)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_o), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_o), rtol=2e-5, atol=2e-5)
+
+    def loss_p(*a):
+        out, r = fused_convnext_mlp(*a, f32)
+        return (out**2).sum() + (r * jnp.arange(R)).sum()
+
+    def loss_o(*a):
+        out, r = oracle(*a)
+        return (out**2).sum() + (r * jnp.arange(R)).sum()
+
+    gp = jax.grad(loss_p, argnums=tuple(range(11)))(*args)
+    go = jax.grad(loss_o, argnums=tuple(range(11)))(*args)
+    for i, (a, b) in enumerate(zip(gp, go)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4,
+            err_msg=f"grad argnum {i}",
+        )
+
+    # no-readout variant
+    out_nr, r_nr = fused_convnext_mlp(*args[:9], None, None, f32)
+    assert r_nr is None
+    np.testing.assert_allclose(np.asarray(out_nr), np.asarray(out_o), rtol=2e-5, atol=2e-5)
