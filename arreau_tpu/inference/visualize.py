@@ -99,7 +99,17 @@ def plot_crystal(
         c=colors, s=180, edgecolors="k", linewidths=0.5, depthshade=True,
     )
     if show_bonds:
-        for i, j in predict_bonds(cart, atomic_numbers):
+        try:
+            # CrystalNN-style PBC Voronoi solid-angle bonds (reference:
+            # predict_bonds.py via pymatgen CrystalNN)
+            from arreau_tpu.inference.bonds import predict_bonds_voronoi
+
+            bonds = predict_bonds_voronoi(
+                np.asarray(frac_x), np.asarray(lattice), np.asarray(atomic_numbers)
+            )
+        except Exception:  # degenerate cells -> covalent-radius fallback
+            bonds = predict_bonds(cart, atomic_numbers)
+        for i, j in bonds:
             ax.plot(*zip(cart[i], cart[j]), color="0.3", lw=1.5)
     if title:
         ax.set_title(title)

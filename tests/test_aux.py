@@ -213,3 +213,37 @@ def test_checkpoint_ranked_retention(tmp_path):
     assert ck2.best_score() == 1.0
     restored = ck2.restore(state, "best")
     assert float(restored.params["w"][0]) == 1.0
+
+
+def test_voronoi_bond_prediction():
+    """CrystalNN-style PBC Voronoi solid-angle bonds: rock-salt coordination
+    and an isolated dimer (reference semantics: pymatgen CrystalNN in
+    /root/reference/diffusion/inference/predict_bonds.py:6-17)."""
+    from arreau_tpu.inference.bonds import predict_bonds_voronoi
+
+    # 8-atom cubic arrangement (rock-salt sites): every atom has 6 PBC
+    # nearest neighbors -> 3 distinct partner atoms -> 12 unique pairs
+    frac, types = [], []
+    for x in (0, 0.5):
+        for y in (0, 0.5):
+            for z in (0, 0.5):
+                frac.append([x, y, z])
+                types.append(11 if (x + y + z) * 2 % 2 == 0 else 17)
+    bonds = predict_bonds_voronoi(np.array(frac), np.eye(3) * 5.6, np.array(types))
+    assert len(bonds) == 12
+    degree = np.zeros(8)
+    for i, j in bonds:
+        assert i != j
+        degree[i] += 1
+        degree[j] += 1
+    assert degree.tolist() == [3.0] * 8
+
+    # dimer in a big box: exactly the one bond
+    dimer = predict_bonds_voronoi(
+        np.array([[0.45, 0.5, 0.5], [0.55, 0.5, 0.5]]),
+        np.eye(3) * 12.0, np.array([6, 6]),
+    )
+    assert [tuple(map(int, b)) for b in dimer] == [(0, 1)]
+
+    # empty input
+    assert predict_bonds_voronoi(np.zeros((0, 3)), np.eye(3), None) == []
