@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=1e-10)
     p.add_argument("--log", type=eval, default=False, help="enable wandb logging")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel group size; devices form a "
+                        "(data, model) mesh and the basis/ConvNext MLPs are "
+                        "Megatron-split over the model axis")
     p.add_argument("--val_interval", type=int, default=5)
     p.add_argument("--max_steps", type=int, default=None, help="optional hard step cap (smoke runs)")
     # train settings
@@ -177,8 +181,9 @@ def main(argv=None):
     )
     model = DiffusionModel(cfg)
 
-    mesh = make_mesh()
+    mesh = make_mesh(model_size=args.model_parallel)
     n_dev = len(jax.devices())  # global device count
+    n_data = n_dev // args.model_parallel  # data-parallel group count
     node_budget = args.batch_size * 16
     from arreau_tpu.data.crystal import DEFAULT_BUCKETS
 
@@ -192,7 +197,7 @@ def main(argv=None):
             node_budget=node_budget,
             buckets=buckets,
             seed=args.seed + i,
-            batch_multiple=n_dev,
+            batch_multiple=n_data,
             host_index=host_index,
             num_hosts=num_hosts,
         )
@@ -213,6 +218,12 @@ def main(argv=None):
     schedule = cosine_warmup_schedule(args.lr, args.warmup, args.epochs, steps_per_epoch)
     tx = make_optimizer(schedule, args.weight_decay, grad_clip=0.5)
     state = create_train_state(params, tx, ema_decay=args.ema)
+    st_sharding = None
+    if args.model_parallel > 1:
+        from arreau_tpu.parallel.mesh import shard_state, state_shardings
+
+        st_sharding = state_shardings(state, mesh)
+        state = shard_state(state, mesh)
 
     def loss_fn(params, key, batch):
         return model.loss(params, key, batch, timestep=fixed_t)
@@ -226,8 +237,9 @@ def main(argv=None):
             batch = rotate_batch(k_rot, batch)
         return model.loss(params, key, batch, timestep=fixed_t)
 
-    train_step = make_train_step(train_loss_fn, tx, mesh=mesh)
-    eval_step = make_eval_step(loss_fn, mesh=mesh, use_ema=args.ema is not None)
+    train_step = make_train_step(train_loss_fn, tx, mesh=mesh, state_sharding=st_sharding)
+    eval_step = make_eval_step(loss_fn, mesh=mesh, use_ema=args.ema is not None,
+                               state_sharding=st_sharding)
 
     def device_batches(split):
         """Collate + transfer in a prefetch thread so the next batch is staged

@@ -5,8 +5,12 @@ NCCL, ``--gpus N``, torchmetrics ``dist_reduce_fx`` — SURVEY.md §2.2/§5):
 with ``jax.sharding`` the train step is jit-compiled once with the batch
 sharded over the ``data`` mesh axis and params replicated; XLA inserts the
 gradient/metric all-reduces over ICI automatically. The reference has no
-TP/PP/SP/EP (1.1M-param GNN) — DP is the parallelism strategy to scale, and
-the mesh carries an (unused, size-1) ``model`` axis for future growth.
+TP/PP/SP/EP (1.1M-param GNN) — DP is the parallelism strategy its scale
+calls for — but the framework additionally supports Megatron-style tensor
+parallelism over a 2-D ``(data, model)`` mesh (``model_size > 1`` +
+:func:`state_shardings`): the basis / ConvNext MLP pairs are column/row
+split and GSPMD derives the activation psums, so wider-model configs can
+exceed one chip's HBM without code changes.
 """
 
 from __future__ import annotations
@@ -47,9 +51,24 @@ def maybe_initialize_distributed() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
-def make_mesh(devices=None, data_axis: str = "data") -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (data_axis,))
+def make_mesh(
+    devices=None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    model_size: int = 1,
+) -> Mesh:
+    """1-D ``(data,)`` mesh by default; ``model_size > 1`` folds the device
+    list into a 2-D ``(data, model)`` mesh for combined DP x TP. On a real
+    slice, pass devices in ICI order so the (faster-varying) model axis rides
+    the shortest links — tensor-parallel collectives are latency-bound."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if model_size > 1:
+        if devices.size % model_size != 0:
+            raise ValueError(
+                f"{devices.size} devices not divisible by model_size={model_size}"
+            )
+        return Mesh(devices.reshape(-1, model_size), (data_axis, model_axis))
+    return Mesh(devices, (data_axis,))
 
 
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
@@ -59,6 +78,73 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# --- tensor parallelism (Megatron-style column/row MLP split) --------------
+#
+# The model's FLOPs live in two MLP families: the kernel-basis networks
+# (BasisMLP: dense_in -> GELU -> dense_out, SURVEY C13) and the ConvNext
+# widen/narrow pair (linear_1/linear_2). Sharding the first layer's output
+# dim and the second layer's contraction dim over a ``model`` mesh axis keeps
+# the inner activation sharded (no communication between the two matmuls) and
+# costs exactly one psum per pair, which GSPMD inserts automatically from the
+# param shardings below — no hand-written collectives. Optimizer moments and
+# EMA shadows inherit the same specs, so per-device optimizer memory also
+# drops by the model-axis size (ZeRO-style, for free).
+
+_COL_SPLIT = frozenset({"dense_in", "linear_1"})  # shard output features
+_ROW_SPLIT = frozenset({"dense_out", "linear_2"})  # shard contraction dim
+
+
+def _path_names(path) -> list[str]:
+    names = []
+    for p in path:
+        if hasattr(p, "key"):
+            names.append(str(p.key))
+        elif hasattr(p, "name"):
+            names.append(str(p.name))
+        elif hasattr(p, "idx"):
+            names.append(str(p.idx))
+    return names
+
+
+def param_partition_spec(path, leaf, model_axis: str = "model") -> P:
+    """PartitionSpec for one (possibly optimizer-moment / EMA) param leaf,
+    keyed on the trailing ``<module>/<param>`` names so the same rule covers
+    ``params``, ``ema_params`` and adam's ``mu``/``nu`` trees."""
+    names = _path_names(path)
+    ndim = getattr(leaf, "ndim", 0)
+    if len(names) >= 2:
+        module, param = names[-2], names[-1]
+        if module in _COL_SPLIT:
+            if param == "kernel" and ndim == 2:
+                return P(None, model_axis)
+            if param == "bias" and ndim == 1:
+                return P(model_axis)
+        elif module in _ROW_SPLIT:
+            if param == "kernel" and ndim == 2:
+                return P(model_axis, None)
+            # row-split bias adds after the psum -> replicated
+    return P()
+
+
+def state_shardings(state, mesh: Mesh, model_axis: str = "model"):
+    """NamedSharding pytree for a TrainState: TP specs when the mesh has a
+    model axis, fully replicated otherwise."""
+    if model_axis not in mesh.axis_names:
+        rep = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: rep, state)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, param_partition_spec(path, leaf, model_axis)
+        ),
+        state,
+    )
+
+
+def shard_state(state, mesh: Mesh, model_axis: str = "model"):
+    """Device-put a host TrainState onto the mesh with TP param shardings."""
+    return jax.device_put(state, state_shardings(state, mesh, model_axis))
 
 
 def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):

@@ -25,12 +25,16 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    state_sharding=None,
 ):
     """Build the jitted train step.
 
     ``loss_fn(params, key, batch) -> (loss, metrics)``.
     With a mesh, the batch is expected sharded on its leading axis and the
-    state replicated; jit's sharding propagation inserts the grad psum.
+    state replicated (or, with ``state_sharding`` — a NamedSharding pytree
+    from :func:`parallel.mesh.state_shardings` — tensor-parallel over the
+    mesh's model axis); jit's sharding propagation inserts the grad psum and
+    the TP activation collectives.
     """
 
     def step(state: TrainState, key, batch):
@@ -46,13 +50,16 @@ def make_train_step(
         kwargs["donate_argnums"] = (0,)
     if mesh is not None:
         rep = replicated_sharding(mesh)
+        st = state_sharding if state_sharding is not None else rep
         data = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, rep, data)
-        kwargs["out_shardings"] = (rep, rep)
+        kwargs["in_shardings"] = (st, rep, data)
+        kwargs["out_shardings"] = (st, rep)
     return jax.jit(step, **kwargs)
 
 
-def make_eval_step(loss_fn: Callable, mesh=None, use_ema: bool = False):
+def make_eval_step(
+    loss_fn: Callable, mesh=None, use_ema: bool = False, state_sharding=None
+):
     def step(state: TrainState, key, batch):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         _, metrics = loss_fn(params, key, batch)
@@ -61,7 +68,8 @@ def make_eval_step(loss_fn: Callable, mesh=None, use_ema: bool = False):
     kwargs = {}
     if mesh is not None:
         rep = replicated_sharding(mesh)
+        st = state_sharding if state_sharding is not None else rep
         data = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, rep, data)
+        kwargs["in_shardings"] = (st, rep, data)
         kwargs["out_shardings"] = rep
     return jax.jit(step, **kwargs)
