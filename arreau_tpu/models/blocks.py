@@ -272,10 +272,16 @@ class FiberBundleConv(nn.Module):
                 # window_grad follows position_grads: unless something
                 # differentiates through positions (the window's only
                 # inputs), its cotangent is dead work in the backward kernel
+                # bf16 compute: store the f32-accumulated conv output in bf16
+                # (the fiber einsum below casts to bf16 anyway — identical
+                # values, no separate convert pass, half the HBM writes)
+                out_dt = (
+                    jnp.bfloat16 if w.dtype == jnp.bfloat16 else jnp.float32
+                )
                 x_sp = fused_spatial_conv(
                     kernel_basis.astype(w.dtype), w, x.astype(w.dtype), edge_mask,
-                    window, window_grad=self.position_grads,
-                )  # [B', O, TA, C] f32
+                    window, window_grad=self.position_grads, out_dtype=out_dt,
+                )  # [B', O, TA, C] out_dt
                 y = (
                     jnp.einsum(
                         "botc,opc->bptc",

@@ -325,6 +325,58 @@ def _poly_features(attr, degree):
     return polynomial_features(attr, degree)
 
 
+# ---------------------------------------------------------------------------
+# Fused poly + dense_in + GELU forward (round-3 production path). Profiled
+# motivation (out/r3 phase table): the XLA forward materializes the 270 MB
+# [B', O, E, F=258] polynomial tensor (outer-product muls + pad/maximum
+# concat) and then layout-copies its degree-3 block for a batch-in-lanes dot
+# emitter — ~2.2 ms/step of HBM traffic to produce h1. This kernel builds the
+# poly block per (b', o) tile from the TINY attr block via the same selection
+# matmuls the fused backward uses, so the only HBM traffic is attr in
+# (~7 MB) and h1 out (~210 MB). The second (dense_out) matmul stays in XLA —
+# it already runs at the HBM roofline and its output layout feeds the conv
+# kernels copy-free.
+# ---------------------------------------------------------------------------
+
+
+def _h1_fwd_kernel(sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, b1_ref, h1_ref):
+    # Emits the PRE-GELU activation: in-kernel the VPU gelu serializes
+    # against the MXU matmuls (Mosaic runs program phases back-to-back),
+    # while outside XLA fuses it into the dense_out dot's operand read for
+    # free. Measured: gelu-in-kernel 1.83 ms/step, pre-activation 1.42
+    # (the floor is the contraction-7 selection matmuls padding the MXU).
+    f32 = jnp.float32
+    cdt = w1_ref.dtype
+    poly = _poly_block(attr_ref[0, 0], sa_ref, sb_ref, sc_ref)
+    h1_pre = (jnp.dot(poly, w1_ref[:], preferred_element_type=f32)
+              + b1_ref[0].astype(f32)).astype(cdt)
+    h1_ref[0, 0] = h1_pre.astype(h1_ref.dtype)
+
+
+def _h1_fwd(attr1, w1, b1, sels):
+    Bp, O, E, d1 = attr1.shape
+    H = w1.shape[1]
+    sa, sb, sc = (jnp.asarray(s, attr1.dtype) for s in sels)
+    return pl.pallas_call(
+        _h1_fwd_kernel,
+        grid=(Bp, O),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E, d1), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, E, H), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, O, E, H), w1.dtype),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+    )(sa, sb, sc, attr1, w1, b1.reshape(1, -1))
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out):
     """Basis MLP ``gelu(gelu(poly(attr) @ W1 + b1) @ W2 + b2)`` returned as
@@ -338,11 +390,41 @@ def basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out):
     backward recomputes the polynomial features in XLA (cheap elementwise)
     and hands them plus the ``n_out`` cotangents to one Pallas kernel. Pass
     zeros for an absent bias. The attr cotangent is NOT computed — do not
-    differentiate through positions/lattice."""
-    poly = _poly_features(attr, degree)
-    h1 = jax.nn.gelu((jnp.dot(poly, w1) + b1).astype(w1.dtype))
+    differentiate through positions/lattice.
+
+    At training scale (``E >= _H1_KERNEL_MIN_E`` rows per grid cell) the
+    first layer (poly features + dense_in + GELU) runs as a Pallas kernel
+    (:func:`_h1_fwd`) that never materializes the [.., F] polynomial tensor
+    in HBM; its pre-activation accumulates in f32 (one bf16 rounding instead
+    of the XLA chain's per-op roundings — matches the fused backward's
+    recompute exactly). The second layer stays in XLA: its dot already runs
+    at the HBM roofline and its output layout feeds the conv kernels
+    copy-free. Below the threshold (sampler-scale batches) the kernel's
+    contraction-7 selection matmuls don't amortize — measured 2.4x SLOWER at
+    B=100 A=8 (E=640) — so the plain XLA chain is used."""
+    d = attr.shape[-1]
+    h1 = _h1(attr, w1, b1, degree)
     basis = jax.nn.gelu((jnp.dot(h1, w2) + b2).astype(w2.dtype))
     return (basis,) * n_out
+
+
+# E (rows per grid cell) below which the XLA chain beats the _h1_fwd kernel
+# (measured on v5e: canonical train E=1024 kernel 1.4 ms vs XLA 2.2 ms;
+# sampler 100x8 E=640 kernel 2.4x slower end-to-end).
+_H1_KERNEL_MIN_E = 1024
+
+
+def _h1(attr, w1, b1, degree, force_kernel=False):
+    """First basis-MLP layer ``gelu(poly(attr) @ W1 + b1)``, Pallas kernel at
+    training scale, XLA chain below the measured amortization threshold."""
+    if force_kernel or attr.shape[2] >= _H1_KERNEL_MIN_E:
+        d = attr.shape[-1]
+        sels = poly_selection_matrices(d, degree)
+        ones = jnp.ones((*attr.shape[:-1], 1), attr.dtype)
+        attr1 = jnp.concatenate([attr, ones], axis=-1)
+        return jax.nn.gelu(_h1_fwd(attr1, w1, b1, sels))
+    poly = _poly_features(attr, degree)
+    return jax.nn.gelu((jnp.dot(poly, w1) + b1).astype(w1.dtype))
 
 
 def _multi_vjp_fwd(attr, w1, b1, w2, b2, degree, n_out):

@@ -289,7 +289,10 @@ def _fwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
     kern = kern * win_ref[0]  # [E, 1] lane broadcast
     xj = jnp.dot(sel_ref[0], x_o, preferred_element_type=f32)
     msg = (kern * xj).reshape(K, TA, C)
-    y_ref[0, 0] = msg.sum(axis=0)
+    # accumulate in f32, store in the output dtype (bf16 in production: the
+    # consuming fiber einsum runs in bf16 anyway, so storing bf16 here is
+    # numerically identical and kills a separate 52 MB/layer convert pass)
+    y_ref[0, 0] = msg.sum(axis=0).astype(y_ref.dtype)
 
 
 def _dot_tn(a, b):
@@ -349,7 +352,7 @@ def _bwd_spatial_kernel(K, want_dwin, sel_ref, basis_ref, w_ref, win_ref,
     dx_ref[0, 0] = _dot_tn(sel, dxc).astype(dx_ref.dtype)
 
 
-def _fwd_spatial(basis_om, w, x_om, sel, win):
+def _fwd_spatial(basis_om, w, x_om, sel, win, out_dtype=jnp.float32):
     Bp, O, E, D = basis_om.shape
     TA, C = x_om.shape[2], x_om.shape[3]
     K = E // TA
@@ -366,7 +369,7 @@ def _fwd_spatial(basis_om, w, x_om, sel, win):
         out_specs=pl.BlockSpec(
             (1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Bp, O, TA, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, O, TA, C), out_dtype),
         interpret=_interpret(),
         compiler_params=None if _interpret() else _COMPILER_PARAMS,
     )(sel, basis_om, w, win, x_om)
@@ -407,7 +410,9 @@ def _bwd_spatial(basis_om, w, x_om, sel, win, g, want_dwin=True):
         out_shape=out_shape,
         interpret=_interpret(),
         compiler_params=None if _interpret() else _COMPILER_PARAMS,
-    )(sel, basis_om, w, win, x_om, g.astype(jnp.float32))
+        # g is consumed in its natural dtype (bf16 when the forward emits
+        # bf16) and upcast per-tile in the kernel — no HBM convert pass
+    )(sel, basis_om, w, win, x_om, g)
     if want_dwin:
         dbasis, dwp, dx, dwin = outs
         dwin = dwin.astype(win.dtype)
@@ -417,16 +422,19 @@ def _bwd_spatial(basis_om, w, x_om, sel, win, g, want_dwin=True):
     return dbasis, dwp.sum(axis=0).astype(w.dtype), dx, dwin
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_spatial_conv_p(window_grad, basis_om, w, x_om, sel, win):
-    return _fwd_spatial(basis_om, w, x_om, sel, win)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_spatial_conv_p(window_grad, out_dtype, basis_om, w, x_om, sel, win):
+    return _fwd_spatial(basis_om, w, x_om, sel, win, out_dtype)
 
 
-def _vjp_spatial_fwd(window_grad, basis_om, w, x_om, sel, win):
-    return _fwd_spatial(basis_om, w, x_om, sel, win), (basis_om, w, x_om, sel, win)
+def _vjp_spatial_fwd(window_grad, out_dtype, basis_om, w, x_om, sel, win):
+    return (
+        _fwd_spatial(basis_om, w, x_om, sel, win, out_dtype),
+        (basis_om, w, x_om, sel, win),
+    )
 
 
-def _vjp_spatial_bwd(window_grad, res, g):
+def _vjp_spatial_bwd(window_grad, out_dtype, res, g):
     basis_om, w, x_om, sel, win = res
     dbasis, dw, dx, dwin = _bwd_spatial(
         basis_om, w, x_om, sel, win, g, want_dwin=window_grad
@@ -440,7 +448,9 @@ def _vjp_spatial_bwd(window_grad, res, g):
 _fused_spatial_conv_p.defvjp(_vjp_spatial_fwd, _vjp_spatial_bwd)
 
 
-def fused_spatial_conv(basis_om, w, x_om, sel, win, window_grad=True):
+def fused_spatial_conv(
+    basis_om, w, x_om, sel, win, window_grad=True, out_dtype=jnp.float32
+):
     """Spatial conv only (kernel matmul + window + gather + K-reduce); the
     fiber mixing is left to XLA. Same layouts as :func:`fused_fiber_conv`
     plus the per-edge window ``win [B', E, 1]`` (float32).
@@ -448,8 +458,17 @@ def fused_spatial_conv(basis_om, w, x_om, sel, win, window_grad=True):
     ``window_grad=False`` skips the window cotangent in the backward kernel
     (returns zeros for it): valid whenever nothing differentiates through
     positions — true of every training path here, where gradients are wrt
-    params only. Returns float32 [B', O, TA, C]."""
-    return _fused_spatial_conv_p(window_grad, basis_om, w, x_om, sel, win)
+    params only.
+
+    ``out_dtype`` is the store dtype of the f32-accumulated output (default
+    float32). The bf16 compute path passes bfloat16: its consumer (the fiber
+    einsum) casts to bf16 regardless, so the values are bit-identical while
+    the separate convert pass and half the output HBM traffic disappear —
+    and the backward kernel then receives its cotangent in bf16 too (upcast
+    per-tile in VMEM). Returns ``out_dtype`` [B', O, TA, C]."""
+    return _fused_spatial_conv_p(
+        window_grad, jnp.dtype(out_dtype), basis_om, w, x_om, sel, win
+    )
 
 
 def reference_fiber_conv(basis, w, x, src, mask, fiber_kernel):

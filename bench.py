@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -122,7 +123,12 @@ def pallas_step_flops(batch_size: int, max_atoms: int, hidden: int = 200,
                     + 2 * (E * F * H)       # h1 recompute + dW1
                     + 3 * (E * H * D)) * 2  # h2 recompute + dW2 + dh1
     basis = Bp * O * per_bo_basis
-    return conv + basis
+    # fused poly+dense_in FORWARD kernel (ops/pallas_basis._h1_fwd): its
+    # poly-selection + dense_in matmuls were XLA-visible before round 3,
+    # now inside a custom call -> add them here
+    per_bo_h1 = (3 * E * d1 * F + E * F * H) * 2
+    basis_fwd = Bp * O * per_bo_h1
+    return conv + basis + basis_fwd
 
 
 def step_flops(step, state, batch, batch_size=None, max_atoms=None):
@@ -238,7 +244,15 @@ def main():
 
     enable_compilation_cache()
 
+    # merge into the existing detail file so partial runs (--sampler only)
+    # keep the other sections' latest numbers
     detail = {}
+    if os.path.exists("BENCH_DETAIL.json"):
+        try:
+            with open("BENCH_DETAIL.json") as f:
+                detail = json.load(f)
+        except Exception:
+            detail = {}
     if args.sweep:
         detail["sweep"] = []
         for bs, a in SWEEP:

@@ -313,6 +313,16 @@ def test_basis_mlp_multi_matches_flax_oracle():
     )(attr)
     assert float(jnp.abs(dattr).max()) == 0.0
 
+    # the production-scale _h1_fwd kernel path (size-gated off at this tiny E)
+    # matches the XLA first-layer chain when forced on
+    from arreau_tpu.ops.pallas_basis import _h1
+
+    h1_kernel = _h1(attr, w1, b1, degree, force_kernel=True)
+    h1_xla = _h1(attr, w1, b1, degree)
+    np.testing.assert_allclose(
+        np.asarray(h1_kernel), np.asarray(h1_xla), rtol=2e-5, atol=2e-5
+    )
+
 
 def test_fused_convnext_mlp_matches_flax_oracle():
     """fused_convnext_mlp (interpret mode) == LayerNorm -> Dense -> GELU ->
