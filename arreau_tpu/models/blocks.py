@@ -174,11 +174,14 @@ class MultiBasisMLP(nn.Module):
     out_bias: Optional[bool] = None  # None = follow use_bias
 
     @nn.compact
-    def __call__(self, attr: jax.Array) -> tuple:
+    def __call__(self, attrT: jax.Array) -> tuple:
+        """``attrT``: lane-major invariant attributes ``[B', O, d, E]`` (edge
+        axis last — see :func:`ops.pallas_basis.basis_mlp_multi` for why the
+        transposed layout is the one that stores only real bytes on TPU)."""
         from arreau_tpu.ops.pallas_basis import basis_mlp_multi
 
         out_bias = self.use_bias if self.out_bias is None else self.out_bias
-        in_dim = polynomial_feature_dim(attr.shape[-1], self.degree)
+        in_dim = polynomial_feature_dim(attrT.shape[-2], self.degree)
         w1, b1 = _DenseParams(
             (in_dim, self.hidden_dim), self.use_bias, name="dense_in"
         )()
@@ -191,7 +194,7 @@ class MultiBasisMLP(nn.Module):
             b2 = jnp.zeros((self.basis_dim,), w2.dtype)
         cdt = self.dtype or w1.dtype
         return basis_mlp_multi(
-            attr.astype(cdt), w1.astype(cdt), b1.astype(cdt),
+            attrT.astype(cdt), w1.astype(cdt), b1.astype(cdt),
             w2.astype(cdt), b2.astype(cdt), self.degree, self.n_out,
         )
 

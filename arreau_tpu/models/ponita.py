@@ -205,6 +205,12 @@ class PonitaFiberBundle(nn.Module):
         conv_window = None  # separate in-kernel window (split pallas path)
         B_, A_, K_, O_, _ = attr.shape
         tile = 1
+        # Production TPU path (split Pallas conv): the basis is consumed by
+        # exactly the num_layers conv kernels, so MultiBasisMLP returns one
+        # aliased copy per layer and its fused Pallas backward takes the
+        # per-layer cotangents directly (no XLA N-way dbasis sum fusion).
+        fused_basis = use_pallas and not cfg.fuse_fiber and not cfg.position_grads
+        attrT = None
         if use_pallas:
             from arreau_tpu.ops.pallas_conv import make_gather_matrix, pick_tile
 
@@ -217,11 +223,23 @@ class PonitaFiberBundle(nn.Module):
             # directly in kernel layout, in both directions of autodiff.
             tile = pick_tile(B_, A_, target=128)
             Bp = B_ // tile
-            # attr [B, A, K, O, F] -> [B', O, K, T, A, F] -> [B', O, E, F]
-            attr = attr.reshape(Bp, tile, A_, K_, O_, attr.shape[-1])
-            attr = attr.transpose(0, 4, 3, 1, 2, 5).reshape(
-                Bp, O_, K_ * tile * A_, attr.shape[-1]
-            )
+            d_ = attr.shape[-1]
+            if fused_basis:
+                # lane-major kernel layout [B', O, d, E]: with the edge axis
+                # in lanes the tensor stores only its real bytes (the [..,
+                # E, d] layout pads d -> 128 lanes, ~20x HBM bloat); cast
+                # BEFORE the transpose so the copy moves half the bytes
+                a = attr.astype(cdtype) if cdtype is not None else attr
+                a = a.reshape(Bp, tile, A_, K_, O_, d_)
+                attrT = a.transpose(0, 4, 5, 3, 1, 2).reshape(
+                    Bp, O_, d_, K_ * tile * A_
+                )
+            else:
+                # attr [B, A, K, O, F] -> [B', O, K, T, A, F] -> [B', O, E, F]
+                attr = attr.reshape(Bp, tile, A_, K_, O_, d_)
+                attr = attr.transpose(0, 4, 3, 1, 2, 5).reshape(
+                    Bp, O_, K_ * tile * A_, d_
+                )
             # window [B, A, K] -> k-major rows [B', 1, E, 1]
             window = polynomial_cutoff(dists, cfg.radius)
             window = window.reshape(Bp, tile, A_, K_).transpose(0, 3, 1, 2)
@@ -254,16 +272,11 @@ class PonitaFiberBundle(nn.Module):
         # (fastest; measured to hurt generated-crystal geometry — BASELINE.md)
         bb_in = cfg.basis_bias is True or cfg.basis_bias == "in"
         bb_out = cfg.basis_bias is True
-        # Production TPU path (split Pallas conv): the basis is consumed by
-        # exactly the num_layers conv kernels, so MultiBasisMLP returns one
-        # aliased copy per layer and its fused Pallas backward takes the
-        # per-layer cotangents directly (no XLA N-way dbasis sum fusion).
-        fused_basis = use_pallas and not cfg.fuse_fiber and not cfg.position_grads
         if fused_basis:
             kernel_bases = MultiBasisMLP(
                 cfg.hidden_dim, cfg.basis_dim, cfg.degree, n_out=cfg.num_layers,
                 dtype=cdtype, use_bias=bb_in, out_bias=bb_out, name="basis_fn",
-            )(attr)
+            )(attrT)
         else:
             kernel_basis = BasisMLP(
                 cfg.hidden_dim, cfg.basis_dim, cfg.degree, dtype=cdtype,

@@ -83,6 +83,28 @@ def _poly_block(attr1, sa_ref, sb_ref, sc_ref):
     return (A * B * C).astype(attr1.dtype)
 
 
+def _poly_block_t(attrT, sa_ref, sb_ref, sc_ref):
+    """[d, E] (lane-major attrs) -> [E, F] polynomial features.
+
+    The ones-channel never materializes: for the ``[d+1, F]`` one-hot
+    selection matrix ``S``, ``attr1 @ S == attrT^T @ S[:d] + S[d]`` (the
+    bottom row is 1 exactly on columns whose factor is the constant). The
+    transposed contraction (dim 0 of both operands) is the MXU-native
+    stationary-operand form — no in-kernel relayout of the attr block."""
+    f32 = jnp.float32
+    d = attrT.shape[0]
+    dn = (((0,), (0,)), ((), ()))
+
+    def term(s_ref):
+        s = s_ref[:]
+        return jax.lax.dot_general(
+            attrT, s[:d], dn, preferred_element_type=f32
+        ) + s[d]
+
+    A, B, C = term(sa_ref), term(sb_ref), term(sc_ref)
+    return (A * B * C).astype(attrT.dtype)
+
+
 def _fwd_kernel(sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, w2_ref, out_ref):
     # GELUs run in the compute dtype (bf16): the f32 tanh chain on the VPU
     # costs ~2x and the flax path computes them in bf16 anyway
@@ -233,7 +255,7 @@ fused_basis_mlp.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _multi_bwd_kernel(n_g, sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, b1_ref,
+def _multi_bwd_kernel(n_g, sa_ref, sb_ref, sc_ref, attrT_ref, w1_ref, b1_ref,
                       w2_ref, b2_ref, *refs):
     g_refs = refs[:n_g]
     dw1_ref, db1_ref, dw2_ref, db2_ref = refs[n_g:]
@@ -252,7 +274,7 @@ def _multi_bwd_kernel(n_g, sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, b1_ref,
     # (selection matmuls pad their 7-contraction on the MXU, ~0.6 ms/step,
     # but an XLA-side recompute materializes the 270 MB poly tensor instead,
     # ~1.7 ms/step — measured, out/r3).
-    poly = _poly_block(attr_ref[0, 0], sa_ref, sb_ref, sc_ref)
+    poly = _poly_block_t(attrT_ref[0, 0], sa_ref, sb_ref, sc_ref)
     # recompute forward (pre-activations) exactly as the flax chain: dot in
     # the compute dtype with f32 accumulation, bias add, then bf16 GELU
     h1_pre = (jnp.dot(poly, w1_ref[:], preferred_element_type=f32)
@@ -276,12 +298,12 @@ def _multi_bwd_kernel(n_g, sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, b1_ref,
     db1_ref[0, 0] += jnp.sum(dpre1.astype(f32), axis=0)
 
 
-def _multi_bwd(attr1, w1, b1, w2, b2, sels, gs):
-    Bp, O, E, d1 = attr1.shape
+def _multi_bwd(attrT, w1, b1, w2, b2, sels, gs):
+    Bp, O, d, E = attrT.shape
     F, H = w1.shape
     D = w2.shape[1]
     n_g = len(gs)
-    sa, sb, sc = (jnp.asarray(s, attr1.dtype) for s in sels)
+    sa, sb, sc = (jnp.asarray(s, attrT.dtype) for s in sels)
     g_spec = pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM)
     dw1p, db1p, dw2p, db2p = pl.pallas_call(
         partial(_multi_bwd_kernel, n_g),
@@ -290,7 +312,7 @@ def _multi_bwd(attr1, w1, b1, w2, b2, sels, gs):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, E, d1), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, E), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -310,7 +332,7 @@ def _multi_bwd(attr1, w1, b1, w2, b2, sels, gs):
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else _COMPILER_PARAMS,
-    )(sa, sb, sc, attr1, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), *gs)
+    )(sa, sb, sc, attrT, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), *gs)
     return (
         dw1p.sum(axis=0).astype(w1.dtype),
         db1p.sum(axis=0)[0].astype(b1.dtype),
@@ -339,7 +361,7 @@ def _poly_features(attr, degree):
 # ---------------------------------------------------------------------------
 
 
-def _h1_fwd_kernel(sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, b1_ref, h1_ref):
+def _h1_fwd_kernel(sa_ref, sb_ref, sc_ref, attrT_ref, w1_ref, b1_ref, h1_ref):
     # Emits the PRE-GELU activation: in-kernel the VPU gelu serializes
     # against the MXU matmuls (Mosaic runs program phases back-to-back),
     # while outside XLA fuses it into the dense_out dot's operand read for
@@ -347,16 +369,16 @@ def _h1_fwd_kernel(sa_ref, sb_ref, sc_ref, attr_ref, w1_ref, b1_ref, h1_ref):
     # (the floor is the contraction-7 selection matmuls padding the MXU).
     f32 = jnp.float32
     cdt = w1_ref.dtype
-    poly = _poly_block(attr_ref[0, 0], sa_ref, sb_ref, sc_ref)
+    poly = _poly_block_t(attrT_ref[0, 0], sa_ref, sb_ref, sc_ref)
     h1_pre = (jnp.dot(poly, w1_ref[:], preferred_element_type=f32)
               + b1_ref[0].astype(f32)).astype(cdt)
     h1_ref[0, 0] = h1_pre.astype(h1_ref.dtype)
 
 
-def _h1_fwd(attr1, w1, b1, sels):
-    Bp, O, E, d1 = attr1.shape
+def _h1_fwd(attrT, w1, b1, sels):
+    Bp, O, d, E = attrT.shape
     H = w1.shape[1]
-    sa, sb, sc = (jnp.asarray(s, attr1.dtype) for s in sels)
+    sa, sb, sc = (jnp.asarray(s, attrT.dtype) for s in sels)
     return pl.pallas_call(
         _h1_fwd_kernel,
         grid=(Bp, O),
@@ -364,7 +386,7 @@ def _h1_fwd(attr1, w1, b1, sels):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, E, d1), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, E), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -374,36 +396,40 @@ def _h1_fwd(attr1, w1, b1, sels):
         out_shape=jax.ShapeDtypeStruct((Bp, O, E, H), w1.dtype),
         interpret=_interpret(),
         compiler_params=None if _interpret() else _COMPILER_PARAMS,
-    )(sa, sb, sc, attr1, w1, b1.reshape(1, -1))
+    )(sa, sb, sc, attrT, w1, b1.reshape(1, -1))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out):
+def basis_mlp_multi(attrT, w1, b1, w2, b2, degree, n_out):
     """Basis MLP ``gelu(gelu(poly(attr) @ W1 + b1) @ W2 + b2)`` returned as
     ``n_out`` aliased copies (one per consuming conv layer), with a fused
     Pallas backward that takes the ``n_out`` cotangents directly.
 
-    attr: ``[B', O, E, d]`` kernel-layout invariant attributes in the compute
-    dtype. w1 ``[F, H]``, b1 ``[H]``, w2 ``[H, D]``, b2 ``[D]`` in the
-    compute dtype. Forward is the plain XLA chain (numerics identical to
-    ``BasisMLP``, polynomial expansion fused into the first matmul); the
-    backward recomputes the polynomial features in XLA (cheap elementwise)
-    and hands them plus the ``n_out`` cotangents to one Pallas kernel. Pass
-    zeros for an absent bias. The attr cotangent is NOT computed — do not
-    differentiate through positions/lattice.
+    attrT: ``[B', O, d, E]`` kernel-layout invariant attributes in the
+    compute dtype, **lane-major** — the edge axis E lives in the lane
+    (last) dimension. With d in lanes the TPU tiled layout pads d (6 or 7)
+    to 128, bloating the tensor ~20x in HBM (134 MB at the canonical shape
+    instead of 7 MB) and costing a visible pad/concat pass per step; the
+    transposed layout stores (and DMAs) only the real bytes. w1 ``[F, H]``,
+    b1 ``[H]``, w2 ``[H, D]``, b2 ``[D]`` in the compute dtype. The
+    backward recomputes the polynomial features per tile and hands them
+    plus the ``n_out`` cotangents to one Pallas kernel. Pass zeros for an
+    absent bias. The attr cotangent is NOT computed — do not differentiate
+    through positions/lattice.
 
     At training scale (``E >= _H1_KERNEL_MIN_E`` rows per grid cell) the
     first layer (poly features + dense_in + GELU) runs as a Pallas kernel
     (:func:`_h1_fwd`) that never materializes the [.., F] polynomial tensor
     in HBM; its pre-activation accumulates in f32 (one bf16 rounding instead
     of the XLA chain's per-op roundings — matches the fused backward's
-    recompute exactly). The second layer stays in XLA: its dot already runs
-    at the HBM roofline and its output layout feeds the conv kernels
-    copy-free. Below the threshold (sampler-scale batches) the kernel's
-    contraction-7 selection matmuls don't amortize — measured 2.4x SLOWER at
-    B=100 A=8 (E=640) — so the plain XLA chain is used."""
-    d = attr.shape[-1]
-    h1 = _h1(attr, w1, b1, degree)
+    recompute exactly). The ones-channel of the polynomial expansion is
+    folded into the selection matmuls (``attrT^T @ S[:d] + S[d]``), so no
+    concat pass exists in either direction. The second layer stays in XLA:
+    its dot already runs at the HBM roofline and its output layout feeds
+    the conv kernels copy-free. Below the threshold (sampler-scale batches)
+    the kernel's contraction-7 selection matmuls don't amortize — measured
+    2.4x SLOWER at B=100 A=8 (E=640) — so the plain XLA chain is used."""
+    h1 = _h1(attrT, w1, b1, degree)
     basis = jax.nn.gelu((jnp.dot(h1, w2) + b2).astype(w2.dtype))
     return (basis,) * n_out
 
@@ -414,31 +440,26 @@ def basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out):
 _H1_KERNEL_MIN_E = 1024
 
 
-def _h1(attr, w1, b1, degree, force_kernel=False):
-    """First basis-MLP layer ``gelu(poly(attr) @ W1 + b1)``, Pallas kernel at
-    training scale, XLA chain below the measured amortization threshold."""
-    if force_kernel or attr.shape[2] >= _H1_KERNEL_MIN_E:
-        d = attr.shape[-1]
-        sels = poly_selection_matrices(d, degree)
-        ones = jnp.ones((*attr.shape[:-1], 1), attr.dtype)
-        attr1 = jnp.concatenate([attr, ones], axis=-1)
-        return jax.nn.gelu(_h1_fwd(attr1, w1, b1, sels))
-    poly = _poly_features(attr, degree)
+def _h1(attrT, w1, b1, degree, force_kernel=False):
+    """First basis-MLP layer ``gelu(poly(attr) @ W1 + b1)`` from lane-major
+    ``attrT [B', O, d, E]``: Pallas kernel at training scale, XLA chain
+    below the measured amortization threshold."""
+    if force_kernel or attrT.shape[-1] >= _H1_KERNEL_MIN_E:
+        sels = poly_selection_matrices(attrT.shape[-2], degree)
+        return jax.nn.gelu(_h1_fwd(attrT, w1, b1, sels))
+    poly = _poly_features(attrT.swapaxes(-1, -2), degree)
     return jax.nn.gelu((jnp.dot(poly, w1) + b1).astype(w1.dtype))
 
 
-def _multi_vjp_fwd(attr, w1, b1, w2, b2, degree, n_out):
-    return basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out), (attr, w1, b1, w2, b2)
+def _multi_vjp_fwd(attrT, w1, b1, w2, b2, degree, n_out):
+    return basis_mlp_multi(attrT, w1, b1, w2, b2, degree, n_out), (attrT, w1, b1, w2, b2)
 
 
 def _multi_vjp_bwd(degree, n_out, res, gs):
-    attr, w1, b1, w2, b2 = res
-    d = attr.shape[-1]
-    sels = poly_selection_matrices(d, degree)
-    ones = jnp.ones((*attr.shape[:-1], 1), attr.dtype)
-    attr1 = jnp.concatenate([attr, ones], axis=-1)
-    dw1, db1, dw2, db2 = _multi_bwd(attr1, w1, b1, w2, b2, sels, list(gs))
-    return jnp.zeros_like(attr), dw1, db1, dw2, db2
+    attrT, w1, b1, w2, b2 = res
+    sels = poly_selection_matrices(attrT.shape[-2], degree)
+    dw1, db1, dw2, db2 = _multi_bwd(attrT, w1, b1, w2, b2, sels, list(gs))
+    return jnp.zeros_like(attrT), dw1, db1, dw2, db2
 
 
 basis_mlp_multi.defvjp(_multi_vjp_fwd, _multi_vjp_bwd)

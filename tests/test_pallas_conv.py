@@ -278,17 +278,18 @@ def test_basis_mlp_multi_matches_flax_oracle():
     pi, po = params["params"]["dense_in"], params["params"]["dense_out"]
     w1, b1, w2, b2 = pi["kernel"], pi["bias"], po["kernel"], po["bias"]
 
+    attrT = attr.swapaxes(-1, -2)  # lane-major kernel layout [B', O, d, E]
     want = ref.apply(params, attr)
-    got = basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out)
+    got = basis_mlp_multi(attrT, w1, b1, w2, b2, degree, n_out)
     assert len(got) == n_out
     for g in got:
         np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=2e-5, atol=2e-5)
 
     # MultiBasisMLP module shares the BasisMLP param tree exactly
     mod = MultiBasisMLP(H, D, degree, n_out=n_out, use_bias=True)
-    got_mod = mod.apply(params, attr)
+    got_mod = mod.apply(params, attrT)
     np.testing.assert_allclose(np.asarray(got_mod[0]), np.asarray(want), rtol=2e-5, atol=2e-5)
-    init_mod = jax.tree.map(jnp.shape, mod.init(jax.random.PRNGKey(0), attr))
+    init_mod = jax.tree.map(jnp.shape, mod.init(jax.random.PRNGKey(0), attrT))
     init_ref = jax.tree.map(jnp.shape, ref.init(jax.random.PRNGKey(0), attr))
     assert init_mod == init_ref
 
@@ -299,7 +300,7 @@ def test_basis_mlp_multi_matches_flax_oracle():
         return sum(((y * c) ** 2).sum() for c in coeffs)
 
     def loss_multi(w1, b1, w2, b2):
-        ys = basis_mlp_multi(attr, w1, b1, w2, b2, degree, n_out)
+        ys = basis_mlp_multi(attrT, w1, b1, w2, b2, degree, n_out)
         return sum(((y * c) ** 2).sum() for y, c in zip(ys, coeffs))
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(w1, b1, w2, b2)
@@ -310,15 +311,15 @@ def test_basis_mlp_multi_matches_flax_oracle():
     # attr cotangent is declared dead (zeros)
     dattr = jax.grad(
         lambda a_: sum(((y) ** 2).sum() for y in basis_mlp_multi(a_, w1, b1, w2, b2, degree, n_out))
-    )(attr)
+    )(attrT)
     assert float(jnp.abs(dattr).max()) == 0.0
 
     # the production-scale _h1_fwd kernel path (size-gated off at this tiny E)
     # matches the XLA first-layer chain when forced on
     from arreau_tpu.ops.pallas_basis import _h1
 
-    h1_kernel = _h1(attr, w1, b1, degree, force_kernel=True)
-    h1_xla = _h1(attr, w1, b1, degree)
+    h1_kernel = _h1(attrT, w1, b1, degree, force_kernel=True)
+    h1_xla = _h1(attrT, w1, b1, degree)
     np.testing.assert_allclose(
         np.asarray(h1_kernel), np.asarray(h1_xla), rtol=2e-5, atol=2e-5
     )
