@@ -247,3 +247,36 @@ def test_voronoi_bond_prediction():
 
     # empty input
     assert predict_bonds_voronoi(np.zeros((0, 3)), np.eye(3), None) == []
+
+
+def test_view_crystals_cli(tmp_path):
+    """Both viewer modes of exploration/view_crystals render PNGs (reference
+    view_alexandria_dataset.py + view_generated_crystal.py equivalents)."""
+    from arreau_tpu.exploration import view_crystals as vc
+    from arreau_tpu.inference.io import SampleResult, save_sample_results
+
+    ds_dir = tmp_path / "ds"
+    assert vc.main([
+        "dataset", "--dataset", "synthetic", "--num", "2",
+        "--out_dir", str(ds_dir), "--show_bonds",
+    ]) == 2
+    assert sorted(p.name for p in ds_dir.iterdir()) == ["0.png", "1.png"]
+
+    rng = np.random.default_rng(0)
+    res = SampleResult(
+        frac_x=rng.random((12, 3)),
+        atomic_numbers=np.array([1, 6, 8] * 4),
+        lattice=np.tile(np.eye(3) * 4.0, (3, 1, 1)),
+        idx_start=np.array([0, 4, 8]),
+        num_atoms=np.array([4, 4, 4]),
+    )
+    h5 = tmp_path / "crystals.h5"
+    save_sample_results(str(h5), res)
+    gen_dir = tmp_path / "gen"
+    assert vc.main([
+        "generated", "--crystal_file", str(h5), "--index", "0", "2",
+        "--shift", "0.3", "0.6", "0.2", "--out_dir", str(gen_dir),
+    ]) == 2
+    assert sorted(p.name for p in gen_dir.iterdir()) == [
+        "generated_0.png", "generated_2.png",
+    ]
