@@ -78,6 +78,12 @@ class PonitaConfig:
     # fold the ConvNext MLP tail + readout into a Pallas kernel (measured
     # slower on v5e — VPU/MXU serialization; see blocks.ConvNextBlock)
     fuse_convnext: bool = False
+    # Average the per-layer readouts as ONE stacked matmul
+    # concat_i(x_i) @ vstack_i(W_i) instead of num_layers narrow
+    # [.., C] @ [C, ~13] dots whose 13-wide output pads the MXU 10x (the
+    # identity sum_i x_i W_i + b_i == concat(x) vstack(W) + sum(b), exact
+    # same parameters/math in both autodiff directions).
+    stacked_readout: bool = True
     # Set True if anything differentiates through atom positions (forces,
     # geometry relaxation): disables the dead-cotangent shortcuts (window
     # cotangent skip, fused basis backward) that are only valid for
@@ -320,6 +326,7 @@ class PonitaFiberBundle(nn.Module):
                        and cdtype is not None)
         readouts = []
         edge_readouts = []
+        stacked_xs, stacked_ws, stacked_bs = [], [], []
         for i in range(cfg.num_layers):
             want_readout = cfg.multiple_readouts or i == cfg.num_layers - 1
             readout_params = None
@@ -344,6 +351,13 @@ class PonitaFiberBundle(nn.Module):
             if want_readout:
                 if fused_readout is not None:
                     readouts.append(fused_readout)
+                elif cfg.stacked_readout:
+                    w, b = _DenseParams(
+                        (cfg.hidden_dim, out_total), True, name=f"readout_{i}"
+                    )()
+                    stacked_xs.append(x)
+                    stacked_ws.append(w)
+                    stacked_bs.append(b)
                 else:
                     readouts.append(nn.Dense(out_total, name=f"readout_{i}")(x))
                 if cfg.output_dim_edge_scalar > 0:
@@ -351,7 +365,15 @@ class PonitaFiberBundle(nn.Module):
                     edge_readouts.append(
                         nn.Dense(cfg.output_dim_edge_scalar, name=f"edge_readout_{i}")(edge_in)
                     )
-        readout = sum(readouts) / len(readouts)
+        if stacked_xs:
+            # sum_i (x_i @ W_i + b_i) == concat_i(x_i) @ vstack_i(W_i)
+            # + sum_i b_i: one MXU-tiled L*C contraction instead of L
+            # 13-column dots (fwd AND bwd: dW/dx also become single dots)
+            xcat = jnp.concatenate(stacked_xs, axis=-1)
+            wcat = jnp.concatenate(stacked_ws, axis=0)
+            readout = (jnp.dot(xcat, wcat) + sum(stacked_bs)) / len(stacked_xs)
+        else:
+            readout = sum(readouts) / len(readouts)
         if use_pallas:
             # back to [B, A, O, out_total] (small head tensor) for the
             # sphere projections and per-atom outputs

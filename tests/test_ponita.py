@@ -220,3 +220,34 @@ def test_make_ponita_factory_dispatch():
                         output_dim_scalar=1)
     assert isinstance(plain, PonitaPointCloud)
     assert not plain.config.lifted
+
+
+def test_stacked_readout_matches_per_layer():
+    """The stacked readout (one concat_i(x_i) @ vstack_i(W_i) dot) is the
+    same function of the same param tree as the per-layer readout dots."""
+    import dataclasses
+
+    inputs, _ = _make_inputs(jax.random.PRNGKey(7))
+    stacked = PonitaFiberBundle(dataclasses.replace(CFG, stacked_readout=True))
+    plain = PonitaFiberBundle(dataclasses.replace(CFG, stacked_readout=False))
+    params = stacked.init(jax.random.PRNGKey(1), inputs)
+    assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+        jnp.shape, plain.init(jax.random.PRNGKey(1), inputs)
+    )
+    out_s = stacked.apply(params, inputs)
+    out_p = plain.apply(params, inputs)
+    for a, b in zip(jax.tree_util.tree_leaves(out_s), jax.tree_util.tree_leaves(out_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
+
+    def loss(mod, p):
+        out = mod.apply(p, inputs)
+        return sum((jnp.asarray(leaf) ** 2).sum() for leaf in jax.tree_util.tree_leaves(out))
+
+    g_s = jax.grad(lambda p: loss(stacked, p))(params)
+    g_p = jax.grad(lambda p: loss(plain, p))(params)
+    # f32 param grads see accumulation-order reassociation (one wide dot vs
+    # L narrow dots) -> differences at f32 epsilon; f64 leaves stay exact
+    for a, b in zip(jax.tree_util.tree_leaves(g_s), jax.tree_util.tree_leaves(g_p)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-12 if a.dtype == np.float64 else 1e-5
+        np.testing.assert_allclose(a, b, rtol=tol, atol=tol * np.abs(b).max())
