@@ -13,6 +13,7 @@ import argparse
 import os
 
 import numpy as np
+from arreau_tpu.cli.common import parse_bool
 
 
 def parse_args(argv=None):
@@ -22,12 +23,12 @@ def parse_args(argv=None):
     p.add_argument("--num_crystals", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=10)
     p.add_argument("--num_atoms_per_sample", type=int, default=4)
-    p.add_argument("--use_ema", type=eval, default=True)
+    p.add_argument("--use_ema", type=parse_bool, default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="out")
-    p.add_argument("--visualize", type=eval, default=False)
-    p.add_argument("--show_bonds", type=eval, default=False)
-    p.add_argument("--gif", type=eval, default=False,
+    p.add_argument("--visualize", type=parse_bool, default=False)
+    p.add_argument("--show_bonds", type=parse_bool, default=False)
+    p.add_argument("--gif", type=parse_bool, default=False,
                    help="render the sampling trajectory of the last batch as a GIF")
     p.add_argument("--snapshot_every", type=int, default=10)
     p.add_argument("--type_temperature", type=float, default=1.0,
@@ -40,7 +41,7 @@ def parse_args(argv=None):
         help="comma-separated element symbols to pin atom types (e.g. 'C,C,C,C')",
     )
     p.add_argument(
-        "--clip_denoised", type=eval, default=True,
+        "--clip_denoised", type=parse_bool, default=True,
         help="clamp the sampler's lattice-length x0-prediction to the training "
         "envelope stored in the checkpoint (standard DDPM clip_denoised; "
         "False = strict reference semantics)",

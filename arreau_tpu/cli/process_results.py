@@ -14,6 +14,7 @@ import argparse
 import os
 
 import numpy as np
+from arreau_tpu.cli.common import parse_bool
 
 
 def parse_args(argv=None):
@@ -23,8 +24,8 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--lr", type=float, default=0.02)
     p.add_argument("--sigma", type=float, default=1.5)
-    p.add_argument("--visualize", type=eval, default=False)
-    p.add_argument("--use_mace", type=eval, default=False)
+    p.add_argument("--visualize", type=parse_bool, default=False)
+    p.add_argument("--use_mace", type=parse_bool, default=False)
     return p.parse_args(argv)
 
 

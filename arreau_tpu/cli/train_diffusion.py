@@ -17,6 +17,7 @@ import glob
 import os
 
 import numpy as np
+from arreau_tpu.cli.common import parse_bool
 
 
 def _parse_basis_bias(value: str):
@@ -42,7 +43,7 @@ def parse_args(argv=None):
                    help="crystals per batch at the 16-atom bucket; other buckets scale to equal node budget")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=1e-10)
-    p.add_argument("--log", type=eval, default=False, help="enable wandb logging")
+    p.add_argument("--log", type=parse_bool, default=False, help="enable wandb logging")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_parallel", type=int, default=1,
                    help="tensor-parallel group size; devices form a "
@@ -51,7 +52,7 @@ def parse_args(argv=None):
     p.add_argument("--val_interval", type=int, default=5)
     p.add_argument("--max_steps", type=int, default=None, help="optional hard step cap (smoke runs)")
     # train settings
-    p.add_argument("--train_augm", type=eval, default=False,
+    p.add_argument("--train_augm", type=parse_bool, default=False,
                    help="random SO(3) rotation augmentation of the lattice")
     p.add_argument("--dataset", type=str, default="alexandria",
                    choices=["alexandria", "alexandria-dev", "eval-equivariance", "synthetic"])
@@ -67,7 +68,7 @@ def parse_args(argv=None):
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--widening_factor", type=int, default=4)
     p.add_argument("--layer_scale", type=float, default=1e-6)
-    p.add_argument("--multiple_readouts", type=eval, default=True)
+    p.add_argument("--multiple_readouts", type=parse_bool, default=True)
     p.add_argument("--num_timesteps", type=int, default=1000)
     p.add_argument("--mask_prob", type=float, default=0.02,
                    help="D3PM per-step mask-transition probability (reference "
@@ -80,9 +81,9 @@ def parse_args(argv=None):
                    help="'jax' writes a profiler trace for the first timed epoch")
     p.add_argument("--ema", type=float, default=None, help="EMA decay (e.g. 0.99); default off like the reference diffusion run")
     p.add_argument("--synthetic_size", type=int, default=2000)
-    p.add_argument("--resume", type=eval, default=True,
+    p.add_argument("--resume", type=parse_bool, default=True,
                    help="resume from <checkpoint_dir>/last if present (preemption-safe)")
-    p.add_argument("--debug_nans", type=eval, default=False,
+    p.add_argument("--debug_nans", type=parse_bool, default=False,
                    help="enable jax NaN checking (slow; numerics sanitizer mode)")
     p.add_argument("--compute_dtype", type=str, default=None, choices=[None, "bfloat16"],
                    help="model compute dtype; bfloat16 recommended on TPU")

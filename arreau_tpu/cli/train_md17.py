@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 
 import numpy as np
+from arreau_tpu.cli.common import parse_bool, parse_opt_float
 
 
 def parse_args(argv=None):
@@ -23,7 +24,7 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=1e-10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--val_interval", type=int, default=5)
-    p.add_argument("--train_augm", type=eval, default=True)
+    p.add_argument("--train_augm", type=parse_bool, default=True)
     p.add_argument("--npz", type=str, default=None, help="path to an rMD17 npz file")
     p.add_argument("--target", type=str, default="aspirin")
     p.add_argument("--lambda_F", type=float, default=500.0)
@@ -31,7 +32,7 @@ def parse_args(argv=None):
     p.add_argument("--train_size", type=int, default=950)
     p.add_argument("--val_size", type=int, default=50)
     p.add_argument("--synthetic_size", type=int, default=1200)
-    p.add_argument("--radius", type=eval, default=None)
+    p.add_argument("--radius", type=parse_opt_float, default=None)
     p.add_argument("--max_neighbors", type=int, default=8)
     p.add_argument("--num_ori", type=int, default=-1)
     p.add_argument("--hidden_dim", type=int, default=128)
@@ -40,7 +41,7 @@ def parse_args(argv=None):
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--widening_factor", type=int, default=4)
     p.add_argument("--layer_scale", type=float, default=0.0)
-    p.add_argument("--multiple_readouts", type=eval, default=True)
+    p.add_argument("--multiple_readouts", type=parse_bool, default=True)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints-md17")
     p.add_argument("--max_steps", type=int, default=None)
     return p.parse_args(argv)

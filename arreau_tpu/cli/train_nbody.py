@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 
 import numpy as np
+from arreau_tpu.cli.common import parse_bool, parse_opt_bool, parse_opt_float
 
 
 def parse_args(argv=None):
@@ -24,7 +25,7 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=1e-10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--val_interval", type=int, default=5)
-    p.add_argument("--train_augm", type=eval, default=True)
+    p.add_argument("--train_augm", type=parse_bool, default=True)
     p.add_argument("--max_training_samples", type=int, default=3000)
     p.add_argument("--generate_train", type=int, default=10000,
                    help="trajectories to simulate for the train file when the dataset "
@@ -36,7 +37,7 @@ def parse_args(argv=None):
                    help="'egnn' trains the runnable EGNN baseline (the reference "
                         "vendors broken baselines and hard-codes their curves; "
                         "see models/egnn.py)")
-    p.add_argument("--radius", type=eval, default=None)
+    p.add_argument("--radius", type=parse_opt_float, default=None)
     p.add_argument("--num_ori", type=int, default=16)
     p.add_argument("--hidden_dim", type=int, default=128)
     p.add_argument("--basis_dim", type=int, default=256)
@@ -44,10 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--widening_factor", type=int, default=4)
     p.add_argument("--layer_scale", type=float, default=0.0)
-    p.add_argument("--multiple_readouts", type=eval, default=True)
+    p.add_argument("--multiple_readouts", type=parse_bool, default=True)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints-nbody")
     p.add_argument("--max_steps", type=int, default=None)
-    p.add_argument("--scan_epoch", type=eval, default=None,
+    p.add_argument("--scan_epoch", type=parse_opt_bool, default=None,
                    help="run each epoch as one jitted lax.scan over its "
                         "batches (the 30 tiny steps/epoch are host-dispatch-"
                         "bound otherwise). Default (None): auto — on when "

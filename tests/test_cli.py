@@ -145,3 +145,26 @@ def test_train_resume_restores_step(tmp_path):
     raw = ckpt.restore_raw("last")
     step = raw[0] if isinstance(raw, (list, tuple)) else raw["step"]
     assert int(np.asarray(step)) > 0
+
+
+def test_cli_bool_parsers():
+    """CLI boolean/optional knobs accept case-insensitive spellings and
+    reject garbage with an argparse error instead of eval() surprises."""
+    import pytest
+
+    from arreau_tpu.cli.common import parse_bool, parse_opt_bool, parse_opt_float
+    from arreau_tpu.cli.train_diffusion import parse_args as diffusion_args
+    from arreau_tpu.cli.train_nbody import parse_args as nbody_args
+
+    assert parse_bool("true") is True and parse_bool("False") is False
+    assert parse_opt_bool("None") is None and parse_opt_bool("TRUE") is True
+    assert parse_opt_float("none") is None and parse_opt_float("5.0") == 5.0
+
+    args = diffusion_args(["--train_augm", "true", "--resume", "FALSE"])
+    assert args.train_augm is True and args.resume is False
+    args = nbody_args(["--radius", "None", "--scan_epoch", "false"])
+    assert args.radius is None and args.scan_epoch is False
+    with pytest.raises(SystemExit):
+        diffusion_args(["--debug_nans", "maybe"])
+    with pytest.raises(SystemExit):
+        nbody_args(["--radius", "wide"])
