@@ -96,6 +96,9 @@ def parse_args(argv=None):
                         "mildly worse geometry); False = none (+3%% steps/s, "
                         "measurably worse geometry — see BASELINE.md "
                         "ablation)")
+    p.add_argument("--stacked_readout", type=parse_bool, default=True,
+                   help="average the per-layer readouts as one stacked matmul "
+                        "(same params/math; ablation knob)")
     return p.parse_args(argv)
 
 
@@ -178,6 +181,7 @@ def main(argv=None):
         multiple_readouts=args.multiple_readouts,
         compute_dtype=args.compute_dtype,
         basis_bias=args.basis_bias,
+        stacked_readout=args.stacked_readout,
         mask_prob=args.mask_prob,
     )
     model = DiffusionModel(cfg)

@@ -110,6 +110,8 @@ class DiffusionConfig:
     # basis-MLP Dense biases (see PonitaConfig.basis_bias): True, "in", False.
     # True matches the reference layer shapes and pre-existing checkpoints.
     basis_bias: "bool | str" = True
+    # per-layer readouts as one stacked matmul (PonitaConfig.stacked_readout)
+    stacked_readout: bool = True
 
     @property
     def in_scalar_dim(self) -> int:
@@ -143,6 +145,7 @@ class DiffusionConfig:
             compute_dtype=self.compute_dtype,
             fuse_fiber=self.fuse_fiber,
             basis_bias=self.basis_bias,
+            stacked_readout=self.stacked_readout,
         )
 
 

@@ -32,7 +32,10 @@ from arreau_tpu.train.optim import make_optimizer
 from arreau_tpu.train.state import create_train_state
 
 zt = synthetic_z_table()
-cfg = DiffusionConfig(num_atomic_states=len(zt), compute_dtype="bfloat16")
+cfg = DiffusionConfig(
+    num_atomic_states=len(zt), compute_dtype="bfloat16",
+    stacked_readout=os.environ.get("ARREAU_STACKED_READOUT", "1") != "0",
+)
 model = DiffusionModel(cfg)
 rng = np.random.default_rng(0)
 host = make_synthetic_batch(rng, zt, 256, 16)
