@@ -60,3 +60,9 @@ eda:
 
 vp-check:
 	python -m arreau_tpu.exploration.vp_prior_check
+
+view-dataset:
+	python -m arreau_tpu.exploration.view_crystals dataset
+
+view-generated:
+	python -m arreau_tpu.exploration.view_crystals generated

@@ -84,6 +84,7 @@ def quality_from_results(result, z_table, quality_ref: str) -> dict:
         ref_angles=ref["angles"],
         num_types=len(z_table),
         ref_type_mi=ref["type_mi"],
+        ref_coord_hist=ref["coord_hist"],
     ) | {"ref_min_dist_violation_rate": ref["min_dist_violation_rate"]}
 
 

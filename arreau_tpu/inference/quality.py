@@ -109,6 +109,43 @@ def type_geometry_mutual_info(
     return float(np.nansum(terms))
 
 
+def coordination_histogram(
+    frac: np.ndarray,
+    lattices: np.ndarray,
+    idx_start: np.ndarray,
+    num_atoms: np.ndarray,
+    max_coord: int = 16,
+    max_crystals: int = 200,
+) -> np.ndarray:
+    """Normalized per-atom coordination-number histogram (Voronoi bonds).
+
+    A structure-level metric the length/angle marginals cannot see: real
+    crystals concentrate at chemically plausible coordinations (4/6/8/12),
+    degenerate geometry smears the distribution. Crystals beyond
+    ``max_crystals`` are subsampled evenly (the Voronoi tessellation is
+    host-side and O(27·N) per crystal)."""
+    from arreau_tpu.inference.bonds import predict_bonds_voronoi
+
+    counts = np.zeros(max_coord + 1)
+    n = len(num_atoms)
+    for i in np.linspace(0, n - 1, min(max_crystals, n)).astype(int):
+        s, e = int(idx_start[i]), int(idx_start[i]) + int(num_atoms[i])
+        if e - s < 2:
+            continue
+        try:
+            bonds = predict_bonds_voronoi(frac[s:e], lattices[i])
+        except Exception:  # degenerate cell -> count as 0-coordinated atoms
+            counts[0] += e - s
+            continue
+        deg = np.zeros(e - s, dtype=int)
+        for a, b in bonds:
+            deg[a] += 1
+            deg[b] += 1
+        np.add.at(counts, np.clip(deg, 0, max_coord), 1)
+    total = counts.sum()
+    return counts / total if total else counts
+
+
 def quality_report(
     gen_frac: np.ndarray,
     gen_types: np.ndarray,
@@ -120,6 +157,7 @@ def quality_report(
     num_types: int,
     ref_type_mi: float | None = None,
     min_dist_threshold: float = 0.5,
+    ref_coord_hist: np.ndarray | None = None,
 ) -> dict:
     """Full quality report of generated crystals vs training statistics."""
     lengths, angles = lattice_params_np(gen_lattices)
@@ -144,6 +182,17 @@ def quality_report(
     }
     if ref_type_mi is not None:
         report["ref_type_geometry_mi"] = float(ref_type_mi)
+    if ref_coord_hist is not None:
+        gen_hist = coordination_histogram(
+            gen_frac, gen_lattices, gen_idx_start, gen_num_atoms,
+            max_coord=len(ref_coord_hist) - 1,
+        )
+        ks = np.arange(len(ref_coord_hist))
+        report["coordination_tv_dist"] = float(
+            0.5 * np.abs(gen_hist - ref_coord_hist).sum()
+        )
+        report["gen_mean_coordination"] = float((gen_hist * ks).sum())
+        report["ref_mean_coordination"] = float((ref_coord_hist * ks).sum())
     return report
 
 
@@ -168,4 +217,8 @@ def dataset_reference_stats(
             type_indices, packed.frac_coords[:, 2], num_types
         ),
         "min_dist_violation_rate": viol,
+        "coord_hist": coordination_histogram(
+            packed.frac_coords, packed.lattices, packed.offsets,
+            np.diff(packed.offsets),
+        ),
     }

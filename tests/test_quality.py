@@ -89,3 +89,34 @@ def test_generated_lengths_land_in_distribution(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_coordination_histogram_rocksalt():
+    """A 3x3x3 simple-cubic cell reads coordination 6 for every atom (+-x/y/z
+    neighbors all distinct); the TV distance of a distribution vs itself is 0."""
+    frac = []
+    for x in range(3):
+        for y in range(3):
+            for z in range(3):
+                frac.append([x / 3, y / 3, z / 3])
+    frac = np.asarray(frac) % 1.0
+    lattices = np.eye(3)[None] * 8.4
+    idx_start = np.array([0])
+    num_atoms = np.array([len(frac)])
+    hist = q.coordination_histogram(frac, lattices, idx_start, num_atoms)
+    assert hist.sum() == pytest.approx(1.0)
+    assert hist[6] == pytest.approx(1.0)
+
+    report = q.quality_report(
+        gen_frac=frac,
+        gen_types=np.zeros(len(frac), dtype=int),
+        gen_lattices=lattices,
+        gen_idx_start=idx_start,
+        gen_num_atoms=num_atoms,
+        ref_lengths=np.full(3, 5.6),
+        ref_angles=np.full(3, 90.0),
+        num_types=2,
+        ref_coord_hist=hist,
+    )
+    assert report["coordination_tv_dist"] == pytest.approx(0.0)
+    assert report["gen_mean_coordination"] == pytest.approx(6.0)
