@@ -86,16 +86,26 @@ class _LayerNormParams(nn.Module):
 class _DenseParams(nn.Module):
     """Bare ``kernel`` (+ optional ``bias``) parameters under a named scope —
     the exact param tree of an ``nn.Dense`` (lecun-normal kernel, zeros bias)
-    for fused-kernel paths that consume the weights directly."""
+    for fused-kernel paths that consume the weights directly.
+
+    ``param_dtype`` is pinned to float32 like ``nn.Dense``'s default —
+    without it the initializers follow ``jnp.float_``, which flips to
+    float64 under the x64 test mode and poisons downstream compute dtypes
+    (the x64 sampler regression caught by tests/test_quality.py)."""
 
     shape: tuple
     use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self) -> tuple[jax.Array, Optional[jax.Array]]:
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, self.param_dtype
+        )
         bias = (
-            self.param("bias", nn.initializers.zeros, (self.shape[1],))
+            self.param(
+                "bias", nn.initializers.zeros, (self.shape[1],), self.param_dtype
+            )
             if self.use_bias
             else None
         )

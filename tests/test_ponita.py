@@ -236,8 +236,12 @@ def test_stacked_readout_matches_per_layer():
     )
     out_s = stacked.apply(params, inputs)
     out_p = plain.apply(params, inputs)
+    # readout params/compute are f32 (param_dtype pinned like nn.Dense), so
+    # every output carries f32-precision content even in f64-typed leaves;
+    # one wide dot vs L narrow dots reassociates the f32 accumulation
     for a, b in zip(jax.tree_util.tree_leaves(out_s), jax.tree_util.tree_leaves(out_p)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * max(np.abs(b).max(), 1e-30))
 
     def loss(mod, p):
         out = mod.apply(p, inputs)
@@ -246,8 +250,7 @@ def test_stacked_readout_matches_per_layer():
     g_s = jax.grad(lambda p: loss(stacked, p))(params)
     g_p = jax.grad(lambda p: loss(plain, p))(params)
     # f32 param grads see accumulation-order reassociation (one wide dot vs
-    # L narrow dots) -> differences at f32 epsilon; f64 leaves stay exact
+    # L narrow dots) -> differences at f32 epsilon
     for a, b in zip(jax.tree_util.tree_leaves(g_s), jax.tree_util.tree_leaves(g_p)):
         a, b = np.asarray(a), np.asarray(b)
-        tol = 1e-12 if a.dtype == np.float64 else 1e-5
-        np.testing.assert_allclose(a, b, rtol=tol, atol=tol * np.abs(b).max())
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * max(np.abs(b).max(), 1e-30))
