@@ -68,7 +68,10 @@ class _KernelParam(nn.Module):
 
     @nn.compact
     def __call__(self) -> jax.Array:
-        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        # param_dtype pinned like nn.Dense (jnp.float_ flips to f64 under x64)
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
 
 
 class _LayerNormParams(nn.Module):
@@ -78,8 +81,9 @@ class _LayerNormParams(nn.Module):
 
     @nn.compact
     def __call__(self) -> tuple[jax.Array, jax.Array]:
-        scale = self.param("scale", nn.initializers.ones, self.shape)
-        bias = self.param("bias", nn.initializers.zeros, self.shape)
+        # param_dtype pinned like nn.LayerNorm (jnp.float_ flips under x64)
+        scale = self.param("scale", nn.initializers.ones, self.shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, self.shape, jnp.float32)
         return scale, bias
 
 
