@@ -280,3 +280,19 @@ def test_view_crystals_cli(tmp_path):
     assert sorted(p.name for p in gen_dir.iterdir()) == [
         "generated_0.png", "generated_2.png",
     ]
+
+
+def test_eda_tools_run(tmp_path):
+    """lattice_eda and vp_prior_check run end-to-end on synthetic data and
+    produce their artifacts (vp_prior_check returns its pass/fail gate)."""
+    from arreau_tpu.exploration.lattice_eda import main as eda_main
+    from arreau_tpu.exploration.vp_prior_check import main as vp_main
+
+    eda_main(["--dataset", "synthetic", "--out_dir", str(tmp_path),
+              "--num_render", "1"])
+    assert (tmp_path / "lattice_eda.png").exists()
+    assert (tmp_path / "example_cell_0.png").exists()
+
+    assert vp_main(["--dataset", "synthetic", "--out_dir", str(tmp_path),
+                    "--num_render", "2"]) is True
+    assert (tmp_path / "vp_prior_lattice_1.png").exists()
