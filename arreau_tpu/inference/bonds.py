@@ -60,6 +60,13 @@ def predict_bonds_voronoi(
     reject facet neighbors beyond this multiple of the covalent-radius sum
     (CrystalNN's distance cutoffs, simplified); pass ``atomic_numbers=None``
     to skip the distance screen.
+
+    Semantics notes: bonds are UNIQUE base-cell pairs — an atom bonded to
+    several periodic images of the same neighbor counts once, so per-atom
+    degrees undercount coordination in cells only 1-2 atoms wide (a 2x2x2
+    simple-cubic grid reads degree 3, not 6); self-image facets (i == j)
+    are never emitted as bonds but DO participate in the per-atom weight
+    normalization — they are part of the coordination environment.
     """
     from scipy.spatial import Voronoi
 

@@ -123,7 +123,11 @@ def coordination_histogram(
     crystals concentrate at chemically plausible coordinations (4/6/8/12),
     degenerate geometry smears the distribution. Crystals beyond
     ``max_crystals`` are subsampled evenly (the Voronoi tessellation is
-    host-side and O(27·N) per crystal)."""
+    host-side and O(27·N) per crystal).
+
+    Degrees are unique-pair bond counts (see ``predict_bonds_voronoi``), so
+    small cells read below their true coordination; comparable between two
+    sets as long as their atom-count distributions are similar."""
     from arreau_tpu.inference.bonds import predict_bonds_voronoi
 
     counts = np.zeros(max_coord + 1)
