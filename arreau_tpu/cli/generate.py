@@ -41,6 +41,13 @@ def parse_args(argv=None):
         help="comma-separated element symbols to pin atom types (e.g. 'C,C,C,C')",
     )
     p.add_argument(
+        "--data_parallel", type=parse_bool, default=True,
+        help="shard each sampling batch over all visible devices (crystals "
+        "are independent, so the reverse chain is embarrassingly data-"
+        "parallel; requires batch_size divisible by the device count — "
+        "otherwise falls back to one device with a notice)",
+    )
+    p.add_argument(
         "--clip_denoised", type=parse_bool, default=True,
         help="clamp the sampler's lattice-length x0-prediction to the training "
         "envelope stored in the checkpoint (standard DDPM clip_denoised; "
@@ -156,8 +163,9 @@ def main(argv=None):
         args.num_atoms_per_sample = len(symbols)
 
     key = jax.random.PRNGKey(args.seed)
-    sample_jit = jax.jit(
-        lambda p, k: model.sample(
+
+    def _sample(p, k):
+        return model.sample(
             p,
             k,
             num_samples=args.batch_size,
@@ -166,7 +174,30 @@ def main(argv=None):
             length_bounds=length_bounds,
             type_temperature=args.type_temperature,
         )
-    )
+
+    # Data-parallel sampling: crystals are independent, so sharding the batch
+    # axis over a 1-D device mesh scales generation linearly with no model
+    # changes — GSPMD partitions the whole reverse chain (incl. the threefry
+    # draws, which are counter-based per-element and therefore bitwise
+    # identical to the single-device chain). Reference analog: none — the
+    # reference samples on one GPU (main_diffusion_generate.py:57).
+    n_dev = jax.device_count()
+    if args.data_parallel and n_dev > 1:
+        if args.batch_size % n_dev:
+            print(
+                f"batch_size {args.batch_size} not divisible by {n_dev} devices; "
+                "sampling on one device (pad batch_size to enable DP)"
+            )
+            sample_jit = jax.jit(_sample)
+        else:
+            from arreau_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+
+            mesh = make_mesh()
+            params = jax.device_put(params, replicated_sharding(mesh))
+            sample_jit = jax.jit(_sample, out_shardings=batch_sharding(mesh))
+            print(f"data-parallel sampling over {n_dev} devices")
+    else:
+        sample_jit = jax.jit(_sample)
     results = []
     snapshots = None
     remaining = args.num_crystals

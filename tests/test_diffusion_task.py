@@ -117,6 +117,40 @@ def test_sampler_constant_atoms():
 
 
 @pytest.mark.slow
+def test_data_parallel_sampler_8_devices():
+    """Reverse sampling sharded over the 8-device mesh (cli.generate
+    --data_parallel): batch axis sharded via out_shardings, params
+    replicated. Crystals are independent and threefry is counter-based, so
+    the sharded chain must match the single-device chain."""
+    from arreau_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    model = DiffusionModel(TINY, dtype=jnp.float64)
+    batch = _to_jax(_batch())
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    def sample(p, k):
+        return model.sample(p, k, num_samples=8, num_atoms_per_sample=3)
+
+    key = jax.random.PRNGKey(11)
+    out_local = jax.jit(sample)(params, key)
+    params_dp = jax.device_put(params, replicated_sharding(mesh))
+    out_dp = jax.jit(sample, out_shardings=batch_sharding(mesh))(params_dp, key)
+
+    assert out_dp.frac_x.sharding.spec == batch_sharding(mesh).spec
+    np.testing.assert_array_equal(
+        np.asarray(out_dp.atom_types), np.asarray(out_local.atom_types)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dp.frac_x), np.asarray(out_local.frac_x), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dp.lattice), np.asarray(out_local.lattice), rtol=1e-10
+    )
+
+
+@pytest.mark.slow
 def test_data_parallel_step_8_devices():
     """Full train step sharded over the 8-device CPU mesh: replicated params,
     batch sharded on the crystal axis — matches what runs on a TPU slice."""
