@@ -232,6 +232,31 @@ def bench_sampler(peak_tflops):
     return rows
 
 
+def _probe_tunnel() -> None:
+    """Fail fast when the axon TPU relay is dead: its JAX client hangs
+    forever in ``jax.devices()`` when the relay port refuses connections
+    (observed round 3), which would stall the whole bench. A 3-second TCP
+    probe turns that hang into an immediate, diagnosable error."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    import socket
+
+    s = socket.socket()
+    s.settimeout(3)
+    try:
+        s.connect(("127.0.0.1", 8082))
+    except OSError as e:
+        print(
+            f"axon TPU relay unreachable on 127.0.0.1:8082 ({e}); "
+            "refusing to start (jax.devices() would hang forever). "
+            "Re-run when the tunnel is back, or set JAX_PLATFORMS=cpu.",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    finally:
+        s.close()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--sweep", action="store_true")
@@ -239,6 +264,8 @@ def main():
     p.add_argument("--sampler", action="store_true")
     p.add_argument("--peak_tflops", type=float, default=PEAK_TFLOPS_BF16)
     args = p.parse_args()
+
+    _probe_tunnel()
 
     from arreau_tpu.utils import enable_compilation_cache
 
