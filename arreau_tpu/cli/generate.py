@@ -92,6 +92,7 @@ def quality_from_results(result, z_table, quality_ref: str) -> dict:
         num_types=len(z_table),
         ref_type_mi=ref["type_mi"],
         ref_coord_hist=ref["coord_hist"],
+        ref_mean_num_atoms=ref["mean_num_atoms"],
     ) | {"ref_min_dist_violation_rate": ref["min_dist_violation_rate"]}
 
 

@@ -138,6 +138,8 @@ def coordination_histogram(
             continue
         try:
             bonds = predict_bonds_voronoi(frac[s:e], lattices[i])
+        except ImportError:
+            raise  # scipy missing — an environment problem, not a 0-coordination cell
         except Exception:  # degenerate cell -> count as 0-coordinated atoms
             counts[0] += e - s
             continue
@@ -162,8 +164,17 @@ def quality_report(
     ref_type_mi: float | None = None,
     min_dist_threshold: float = 0.5,
     ref_coord_hist: np.ndarray | None = None,
+    ref_mean_num_atoms: float | None = None,
 ) -> dict:
-    """Full quality report of generated crystals vs training statistics."""
+    """Full quality report of generated crystals vs training statistics.
+
+    The coordination histogram uses unique-pair Voronoi degrees, which read
+    below the true coordination in small cells — the TV distance is only a
+    like-for-like signal when the generated and reference atom-count regimes
+    match. When ``ref_mean_num_atoms`` is given, ``coordination_comparable``
+    flags (1.0/0.0) whether the mean atom counts are within 2x of each
+    other; treat ``coordination_tv_dist`` as cell-size-driven, not
+    geometry-driven, when it is 0."""
     lengths, angles = lattice_params_np(gen_lattices)
     lo, hi = float(np.min(ref_lengths)), float(np.max(ref_lengths))
     margin = 0.25 * (hi - lo)
@@ -197,6 +208,12 @@ def quality_report(
         )
         report["gen_mean_coordination"] = float((gen_hist * ks).sum())
         report["ref_mean_coordination"] = float((ref_coord_hist * ks).sum())
+        if ref_mean_num_atoms is not None:
+            gen_mean = float(np.mean(gen_num_atoms))
+            ratio = gen_mean / max(float(ref_mean_num_atoms), 1e-9)
+            report["gen_mean_num_atoms"] = gen_mean
+            report["ref_mean_num_atoms"] = float(ref_mean_num_atoms)
+            report["coordination_comparable"] = float(0.5 <= ratio <= 2.0)
     return report
 
 
@@ -225,4 +242,5 @@ def dataset_reference_stats(
             packed.frac_coords, packed.lattices, packed.offsets,
             np.diff(packed.offsets),
         ),
+        "mean_num_atoms": float(np.diff(packed.offsets).mean()),
     }

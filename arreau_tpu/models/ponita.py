@@ -263,8 +263,10 @@ class PonitaFiberBundle(nn.Module):
         # cast attrs to the compute dtype BEFORE the polynomial expansion: the
         # degree-3 features blow input dim 6 -> 258, so the expanded tensor is
         # the largest non-parameter intermediate — halving it halves basis-MLP
-        # HBM traffic in both autodiff directions
-        if cdtype is not None:
+        # HBM traffic in both autodiff directions. (The fused_basis path
+        # already cast before its lane-major transpose and consumes attrT,
+        # not attr — skip the dead full-tensor cast there.)
+        if cdtype is not None and not fused_basis:
             attr = attr.astype(cdtype)
         # NOTE: ops/pallas_basis.py offers a fully-fused basis MLP kernel, but
         # it measured ~3 ms/step SLOWER than this XLA chain at the canonical

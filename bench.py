@@ -125,9 +125,16 @@ def pallas_step_flops(batch_size: int, max_atoms: int, hidden: int = 200,
     basis = Bp * O * per_bo_basis
     # fused poly+dense_in FORWARD kernel (ops/pallas_basis._h1_fwd): its
     # poly-selection + dense_in matmuls were XLA-visible before round 3,
-    # now inside a custom call -> add them here
-    per_bo_h1 = (3 * E * d1 * F + E * F * H) * 2
-    basis_fwd = Bp * O * per_bo_h1
+    # now inside a custom call -> add them here. The kernel only engages at
+    # E >= _H1_KERNEL_MIN_E rows (below that _h1 stays in XLA and
+    # cost_analysis already counts it) — mirror that gate to avoid
+    # double-counting small shapes.
+    from arreau_tpu.ops.pallas_basis import _H1_KERNEL_MIN_E
+
+    basis_fwd = 0
+    if E >= _H1_KERNEL_MIN_E:
+        per_bo_h1 = (3 * E * d1 * F + E * F * H) * 2
+        basis_fwd = Bp * O * per_bo_h1
     return conv + basis + basis_fwd
 
 
@@ -146,7 +153,10 @@ def step_flops(step, state, batch, batch_size=None, max_atoms=None):
         return None
     if xla is None:
         return None
-    if batch_size is not None:
+    # Pallas custom calls only exist on the TPU path (PonitaFiberBundle
+    # resolves use_pallas from the backend); elsewhere the same matmuls are
+    # XLA-visible and already counted above.
+    if batch_size is not None and jax.default_backend() == "tpu":
         xla += pallas_step_flops(batch_size, max_atoms)
     return xla
 
@@ -279,6 +289,8 @@ def main():
             with open("BENCH_DETAIL.json") as f:
                 detail = json.load(f)
         except Exception:
+            detail = {}
+        if not isinstance(detail, dict):  # legacy/hand-edited payloads
             detail = {}
     if args.sweep:
         detail["sweep"] = []
