@@ -34,6 +34,11 @@ def _parse_basis_bias(value: str):
     )
 
 
+def _angle_str(m: dict) -> str:
+    """Angle-loss component for the epoch printers (diffuse_angles mode)."""
+    return f" angle {m['loss_angle']:.4f}" if "loss_angle" in m else ""
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Train the joint crystal diffusion model")
     # run parameters
@@ -74,6 +79,13 @@ def parse_args(argv=None):
                    help="D3PM per-step mask-transition probability (reference "
                         "0.02); higher unmasks atom types earlier in the "
                         "reverse chain (MI-ceiling experiment knob)")
+    p.add_argument("--diffuse_angles", type=parse_bool, default=False,
+                   help="VP-diffuse the lattice angles (sin/cos-encoded) "
+                        "alongside the lengths. Beyond-parity extension: the "
+                        "reference keeps angles fixed at a monoclinic prior "
+                        "during sampling, so its generated angle marginals "
+                        "cannot match the data")
+    p.add_argument("--angle_loss_weight", type=float, default=1.0)
     # infra
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--experiment_name", type=str, default=None)
@@ -183,6 +195,8 @@ def main(argv=None):
         basis_bias=args.basis_bias,
         stacked_readout=args.stacked_readout,
         mask_prob=args.mask_prob,
+        diffuse_angles=args.diffuse_angles,
+        angle_loss_weight=args.angle_loss_weight,
     )
     model = DiffusionModel(cfg)
 
@@ -317,7 +331,7 @@ def main(argv=None):
         lr_now = float(schedule(int(state.step)))
         print(f"epoch {epoch} | train loss {tm.get('loss', float('nan')):.4f} "
               f"(coord {tm.get('loss_coord', 0):.4f} type {tm.get('loss_type', 0):.4f} "
-              f"lattice {tm.get('loss_lattice', 0):.4f}) | lr {lr_now:.2e} | {dt:.1f}s")
+              f"lattice {tm.get('loss_lattice', 0):.4f}{_angle_str(tm)}) | lr {lr_now:.2e} | {dt:.1f}s")
         if wandb_run:
             wandb_run.log({"epoch": epoch, "lr": lr_now, **{f"train/{k}": v for k, v in tm.items()}})
 
@@ -332,7 +346,7 @@ def main(argv=None):
             v = exact_loss(vm.compute())
             print(f"epoch {epoch} | valid loss {v.get('loss', float('nan')):.4f} "
                   f"(coord {v.get('loss_coord', 0):.4f} type {v.get('loss_type', 0):.4f} "
-                  f"lattice {v.get('loss_lattice', 0):.4f})")
+                  f"lattice {v.get('loss_lattice', 0):.4f}{_angle_str(v)})")
             if wandb_run:
                 wandb_run.log({f"valid/{k}": val for k, val in v.items()})
             ckpt.save(state, "last")
@@ -358,7 +372,7 @@ def main(argv=None):
     t = exact_loss(tmets.compute())
     print(f"test loss {t.get('loss', float('nan')):.4f} "
           f"(coord {t.get('loss_coord', 0):.4f} type {t.get('loss_type', 0):.4f} "
-          f"lattice {t.get('loss_lattice', 0):.4f})")
+          f"lattice {t.get('loss_lattice', 0):.4f}{_angle_str(t)})")
     if wandb_run:
         wandb_run.log({f"test/{k}": v for k, v in t.items()})
         wandb_run.finish()

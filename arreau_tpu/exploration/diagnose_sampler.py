@@ -93,10 +93,10 @@ def main(argv=None):
         t_atom = jnp.broadcast_to(t[:, None], (B, A))
         k_lat, k_pos, k_type = jax.random.split(key, 3)
         onehot = jax.nn.one_hot(types, cfg.num_atomic_states, dtype=jnp.float32)
-        pred_eps, pred_logits, pred_lengths = model.predict_scores(
+        pred_eps, pred_logits, pred_global = model.predict_scores(
             params, frac, onehot, t, num_atoms, lengths, angles, atom_mask
         )
-        pred_x0 = pred_lengths * num_atoms.astype(jnp.float32)[:, None]
+        pred_x0 = pred_global[:, :3] * num_atoms.astype(jnp.float32)[:, None]
         new_lengths = vp_reverse_given_x0(model.vp, k_lat, lengths, pred_x0, t)
         new_frac = ve_reverse_step(model.ve, k_pos, frac, pred_eps, t)
         new_types = d3pm_reverse_step(model.d3pm, k_type, types, pred_logits, t_atom)

@@ -33,6 +33,8 @@ from arreau_tpu.models.ponita import FiberBundleInputs, PonitaConfig, PonitaFibe
 from arreau_tpu.ops.fourier import gaussian_fourier_features, make_fourier_weights
 from arreau_tpu.ops.grids import cached_grid_s2
 from arreau_tpu.ops.lattice import (
+    decode_angles,
+    encode_angles,
     frac_to_cart,
     lattice_from_params,
     matrix_to_params,
@@ -48,6 +50,15 @@ LATTICE_CLIPMAX = 0.999
 # Fourier time-embedding constants (reference lightning_wrappers/diffusion.py:22-23).
 FOURIER_SCALE = 16.0
 T_EMB_DIM = 64
+# Angle-diffusion mode: decoded noisy angles are clamped to this physical
+# window before building a lattice — at high noise arctan2 of the VP state
+# can leave (0, pi), where lattice_from_params degenerates (sin -> 0
+# collapses the cell). Real crystal angles live well inside it.
+ANGLE_CLIP = (0.2, float(np.pi) - 0.2)
+
+
+def _decode_angles_safe(enc: jax.Array) -> jax.Array:
+    return jnp.clip(decode_angles(enc), ANGLE_CLIP[0], ANGLE_CLIP[1])
 
 
 def rotate_batch(key: jax.Array, batch: "CrystalBatch") -> "CrystalBatch":
@@ -112,6 +123,15 @@ class DiffusionConfig:
     basis_bias: "bool | str" = True
     # per-layer readouts as one stacked matmul (PonitaConfig.stacked_readout)
     stacked_readout: bool = True
+    # Beyond-parity extension: VP-diffuse the lattice ANGLES alongside the
+    # lengths, as a sin/cos-encoded 6-vector with the same cosine schedule.
+    # The reference never diffuses angles — its sampler draws them once from
+    # a Bravais (default monoclinic) prior and keeps them fixed
+    # (/root/reference/diffusion/diffusion_loss.py:294-296), so generated
+    # angle marginals cannot match the data (measured W1 ~16 deg,
+    # BASELINE.md). Off by default for strict reference parity.
+    diffuse_angles: bool = False
+    angle_loss_weight: float = 1.0
 
     @property
     def in_scalar_dim(self) -> int:
@@ -136,7 +156,8 @@ class DiffusionConfig:
             num_ori=self.num_ori,
             output_dim_scalar=self.num_atomic_states,
             output_dim_vec=1,  # the coordinate score
-            output_dim_global_scalar=3,  # lattice length scale factors
+            # lattice length scale factors (+ encoded-angle x0 when diffused)
+            output_dim_global_scalar=3 + (6 if self.diffuse_angles else 0),
             output_dim_global_vec=0,
             output_dim_edge_scalar=0,
             num_edge_scalar_features=4,
@@ -249,7 +270,9 @@ class DiffusionModel:
         """Run the backbone on the noisy state.
 
         Returns (pred_frac_eps ``[B, A, 3]``, pred_type_logits ``[B, A, C]``,
-        pred_lengths0 ``[B, 3]``).
+        pred_global ``[B, 3]`` — per-atom-scaled lattice-length x0; with
+        ``diffuse_angles`` the global head is ``[B, 9]``, columns 3:9 being
+        the sin/cos-encoded angle x0-prediction).
         """
         inputs = self._build_inputs(
             noisy_frac, noisy_types_onehot, t, num_atoms, noisy_lengths, angles, atom_mask
@@ -271,7 +294,7 @@ class DiffusionModel:
         lattice-length MSE, weights 1/1/1."""
         cfg = self.config
         B, A, _ = batch.frac_x.shape
-        k_t, k_pos, k_type, k_lat = jax.random.split(key, 4)
+        k_t, k_pos, k_type, k_lat, k_ang = jax.random.split(key, 5)
 
         if timestep is None:
             t = jax.random.randint(k_t, (B,), 1, cfg.num_timesteps + 1)
@@ -286,20 +309,28 @@ class DiffusionModel:
         noisy_types = d3pm_sample_xt(self.d3pm, k_type, batch.atom_types, t_atom)
         lengths, angles = matrix_to_params(batch.lattice)
         noisy_lengths, _len_eps = vp_forward(self.vp, k_lat, lengths, t)
+        if cfg.diffuse_angles:
+            # angles ride the same VP chain as the lengths, sin/cos-encoded
+            target_enc = encode_angles(angles)
+            noisy_enc, _ang_eps = vp_forward(self.vp, k_ang, target_enc, t)
+            angles_in = _decode_angles_safe(noisy_enc)
+        else:
+            angles_in = angles  # reference parity: clean angles as features
 
         noisy_types_onehot = jax.nn.one_hot(
             noisy_types, cfg.num_atomic_states, dtype=self.dtype
         )
-        pred_eps, pred_type_logits, pred_lengths = self.predict_scores(
+        pred_eps, pred_type_logits, pred_global = self.predict_scores(
             params,
             noisy_frac,
             noisy_types_onehot,
             t,
             batch.num_atoms,
             noisy_lengths,
-            angles,
+            angles_in,
             batch.atom_mask,
         )
+        pred_lengths = pred_global[:, :3]
 
         # 1) wrapped fractional-coordinate score error (diffusion_loss.py:95-110)
         diff = jnp.abs(pred_eps - target_eps) % 1.0
@@ -333,6 +364,15 @@ class DiffusionModel:
             "loss_coord": error_coord,
             "loss_type": error_type,
             "loss_lattice": error_lattice,
+        }
+        if cfg.diffuse_angles:
+            # 4) encoded-angle x0 MSE (per-crystal, padding excluded)
+            sq_ang = jnp.mean((pred_global[:, 3:9] - target_enc) ** 2, axis=-1)
+            error_angle = jnp.where(example_mask, sq_ang, 0.0).sum() / n_examples
+            total = total + cfg.angle_loss_weight * error_angle
+            metrics["loss"] = total
+            metrics["loss_angle"] = error_angle
+        metrics |= {
             # real (unpadded) counts for exact crystal/atom-weighted epoch means
             "num_crystals": n_examples.astype(jnp.float32),
             "num_atoms": n_valid.astype(jnp.float32),
@@ -374,12 +414,25 @@ class DiffusionModel:
         ``type_temperature``: gumbel-noise scale for the D3PM type draws
         (1.0 = exact reference semantics, 0.0 = posterior argmax); see
         :func:`d3pm_reverse_step`.
+
+        With ``config.diffuse_angles`` the lattice angles are chain state
+        diffused alongside the lengths (``lattice_type`` is ignored): the
+        prior is N(0,1) on the sin/cos encoding and each step applies the
+        same x0-posterior update as the lengths.
         """
         cfg = self.config
         B, A = num_samples, num_atoms_per_sample
         k_ang, k_len, k_frac, k_loop = jax.random.split(key, 4)
 
-        angles = sample_bravais_angles(k_ang, lattice_type, B).astype(self.dtype)
+        if cfg.diffuse_angles:
+            # angles are chain state like the lengths: N(0,1) prior on the
+            # sin/cos encoding (the VP terminal marginal); lattice_type is
+            # ignored in this mode
+            angles = None
+            ang_enc0 = jax.random.normal(k_ang, (B, 6), self.dtype)
+        else:
+            angles = sample_bravais_angles(k_ang, lattice_type, B).astype(self.dtype)
+            ang_enc0 = jnp.zeros((B, 6), self.dtype)  # inert carry slot
         lengths0 = jax.random.normal(k_len, (B, 3), self.dtype)
         frac0 = jax.random.normal(k_frac, (B, A, 3), self.dtype) * POS_SIGMA_MAX
         types0 = (
@@ -391,22 +444,28 @@ class DiffusionModel:
         atom_mask = jnp.ones((B, A), bool)
 
         def step(i, carry):
-            frac, types, lengths, key = carry
+            frac, types, lengths, ang_enc, key = carry
             timestep = cfg.num_timesteps - 1 - i  # T-1 ... 1
             t = jnp.full((B,), timestep, jnp.int32)
             t_atom = jnp.broadcast_to(t[:, None], (B, A))
-            key, k_lat, k_pos, k_type = jax.random.split(key, 4)
+            key, k_lat, k_pos, k_type, k_ang2 = jax.random.split(key, 5)
 
+            ang = _decode_angles_safe(ang_enc) if cfg.diffuse_angles else angles
             types_onehot = jax.nn.one_hot(types, cfg.num_atomic_states, dtype=self.dtype)
-            pred_eps, pred_type_logits, pred_lengths = self.predict_scores(
-                params, frac, types_onehot, t, num_atoms, lengths, angles, atom_mask
+            pred_eps, pred_type_logits, pred_global = self.predict_scores(
+                params, frac, types_onehot, t, num_atoms, lengths, ang, atom_mask
             )
-            pred_lengths_scaled = pred_lengths * num_atoms.astype(self.dtype)[:, None]
+            pred_lengths_scaled = pred_global[:, :3] * num_atoms.astype(self.dtype)[:, None]
             if length_bounds is not None:
                 pred_lengths_scaled = jnp.clip(
                     pred_lengths_scaled, length_bounds[0], length_bounds[1]
                 )
             lengths = vp_reverse_given_x0(self.vp, k_lat, lengths, pred_lengths_scaled, t)
+            if cfg.diffuse_angles:
+                # sin/cos x0 lives in [-1, 1] by definition — clamping the
+                # prediction is exact, not a heuristic stabilizer
+                pred_enc = jnp.clip(pred_global[:, 3:9], -1.0, 1.0)
+                ang_enc = vp_reverse_given_x0(self.vp, k_ang2, ang_enc, pred_enc, t)
             frac = ve_reverse_step(self.ve, k_pos, frac, pred_eps, t)
             types = d3pm_reverse_step(
                 self.d3pm, k_type, types, pred_type_logits, t_atom,
@@ -414,19 +473,20 @@ class DiffusionModel:
             )
             if constant_atoms is not None:
                 types = constant_atoms
-            return frac, types, lengths, key
+            return frac, types, lengths, ang_enc, key
 
         def batch_of(carry):
-            frac, types, lengths, _ = carry
+            frac, types, lengths, ang_enc, _ = carry
+            ang = _decode_angles_safe(ang_enc) if cfg.diffuse_angles else angles
             return CrystalBatch(
                 frac_x=frac,
                 atom_types=types,
-                lattice=lattice_from_params(lengths, angles),
+                lattice=lattice_from_params(lengths, ang),
                 num_atoms=num_atoms,
                 atom_mask=atom_mask,
             )
 
-        carry0 = (frac0, types0, lengths0, k_loop)
+        carry0 = (frac0, types0, lengths0, ang_enc0, k_loop)
         total = cfg.num_timesteps - 1
 
         if snapshot_every is None:

@@ -52,7 +52,7 @@ class MeanMetrics:
 # Which denominator each diffusion metric is a mean over. Metrics not listed
 # (e.g. grad_norm) default to plain batch-weighted means.
 _PER_ATOM_KEYS = ("loss_coord", "loss_type")
-_PER_CRYSTAL_KEYS = ("loss_lattice", "loss")
+_PER_CRYSTAL_KEYS = ("loss_lattice", "loss_angle", "loss")
 
 
 def weighted_update(acc: MeanMetrics, metrics: dict) -> None:
@@ -73,7 +73,10 @@ def exact_loss(m: dict) -> dict:
     direct mean depends on batch layout; the component sum does not."""
     if all(k in m for k in ("loss_coord", "loss_type", "loss_lattice")):
         m = dict(m)
-        m["loss"] = m["loss_coord"] + m["loss_type"] + m["loss_lattice"]
+        m["loss"] = (
+            m["loss_coord"] + m["loss_type"] + m["loss_lattice"]
+            + m.get("loss_angle", 0.0)
+        )
     return m
 
 

@@ -27,4 +27,18 @@ timeout 1800 python -u out/r3/exp_vmem_flags.py vmem64 --xla_tpu_scoped_vmem_lim
 # 5. headline bench refresh (canonical + sweep + sampler ladder)
 timeout 3600 python -u bench.py --sweep --sampler
 
+# 6. angle-diffusion experiment: same recipe as the mi002 baseline run
+# (out/r3/q_mi002/quality.json is the fixed-angle comparison point for
+# w1_angles_deg) but with --diffuse_angles
+timeout 5000 python -u -m arreau_tpu.cli.train_diffusion --dataset=synthetic \
+  --synthetic_size=20000 --epochs=300 --val_interval=25 --hidden_dim=200 \
+  --basis_dim=256 --layers=5 --num_ori=16 --num_timesteps=1000 --radius=5 \
+  --max_neighbors=8 --mask_prob=0.02 --diffuse_angles=True --batch_size=256 \
+  --lr=3e-4 --warmup=10 --compute_dtype=bfloat16 --buckets=24 \
+  --checkpoint_dir=out/r3/ckpt_angles --log=False
+timeout 2400 python -u -m arreau_tpu.cli.generate --checkpoint_dir=out/r3/ckpt_angles \
+  --tag=best --use_ema=False --num_crystals=500 --batch_size=100 \
+  --num_atoms_per_sample=8 --clip_denoised=False --out_dir=out/r3/q_angles \
+  --quality_ref=synthetic:20000:0
+
 echo QUEUE_DONE
