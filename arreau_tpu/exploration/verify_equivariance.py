@@ -105,7 +105,7 @@ def compare_components(ckpt_dir: str, data_dir: str = "datasets/alexandria_hdf5"
     print(f"\nper-component equivariance check (timestep {timestep}, "
           f"{n_noise} shared noise draws):")
     print(f"{'component':<14s}{'original':>12s}{'rotated':>12s}{'rel gap':>10s}")
-    for comp in ("loss_coord", "loss_type", "loss_lattice", "loss"):
+    for comp in ("loss_coord", "loss_type", "loss_lattice", "loss_angle", "loss"):
         a, b = orig.get(comp), rot.get(comp)
         if a is None:
             continue
