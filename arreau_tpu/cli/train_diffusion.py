@@ -324,7 +324,7 @@ def main(argv=None):
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
         dt = timer.epoch_end()
-        tm = exact_loss(train_metrics.compute())
+        tm = exact_loss(train_metrics.compute(), args.angle_loss_weight)
         # derive LR from the optimizer's own step count (survives resume,
         # where the in-process counter and the restored state agree via
         # global_step = state.step above)
@@ -343,7 +343,7 @@ def main(argv=None):
                 vpending.append(eval_step(state, k_eval, batch))
             for m in jax.device_get(vpending):
                 weighted_update(vm, m)
-            v = exact_loss(vm.compute())
+            v = exact_loss(vm.compute(), args.angle_loss_weight)
             print(f"epoch {epoch} | valid loss {v.get('loss', float('nan')):.4f} "
                   f"(coord {v.get('loss_coord', 0):.4f} type {v.get('loss_type', 0):.4f} "
                   f"lattice {v.get('loss_lattice', 0):.4f}{_angle_str(v)})")
@@ -369,7 +369,7 @@ def main(argv=None):
         tpending.append(eval_step(state, k_eval, batch))
     for m in jax.device_get(tpending):
         weighted_update(tmets, m)
-    t = exact_loss(tmets.compute())
+    t = exact_loss(tmets.compute(), args.angle_loss_weight)
     print(f"test loss {t.get('loss', float('nan')):.4f} "
           f"(coord {t.get('loss_coord', 0):.4f} type {t.get('loss_type', 0):.4f} "
           f"lattice {t.get('loss_lattice', 0):.4f}{_angle_str(t)})")

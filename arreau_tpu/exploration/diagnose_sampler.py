@@ -80,7 +80,13 @@ def main(argv=None):
     B, A = args.num_samples, args.num_atoms_per_sample
     key = jax.random.PRNGKey(args.seed)
     k_ang, k_len, k_frac, key = jax.random.split(key, 4)
-    angles = sample_bravais_angles(k_ang, "monoclinic", B).astype(jnp.float32)
+    # mirror the sampler's angle handling: fixed Bravais prior normally,
+    # diffused sin/cos encoding when the checkpoint was trained that way
+    if cfg.diffuse_angles:
+        ang_enc = jax.random.normal(k_ang, (B, 6), jnp.float32)
+    else:
+        ang_enc = None
+        angles = sample_bravais_angles(k_ang, "monoclinic", B).astype(jnp.float32)
     lengths = jax.random.normal(k_len, (B, 3), jnp.float32)
     frac = jax.random.normal(k_frac, (B, A, 3), jnp.float32) * 1.0
     types = jnp.full((B, A), cfg.num_atomic_states - 1)
@@ -88,25 +94,35 @@ def main(argv=None):
     atom_mask = jnp.ones((B, A), bool)
 
     @jax.jit
-    def step(frac, types, lengths, t_scalar, key):
+    def step(frac, types, lengths, ang_enc, t_scalar, key):
+        from arreau_tpu.tasks.diffusion import _decode_angles_safe
+
         t = jnp.full((B,), t_scalar, jnp.int32)
         t_atom = jnp.broadcast_to(t[:, None], (B, A))
-        k_lat, k_pos, k_type = jax.random.split(key, 3)
+        k_lat, k_pos, k_type, k_ang2 = jax.random.split(key, 4)
+        ang = _decode_angles_safe(ang_enc) if cfg.diffuse_angles else angles
         onehot = jax.nn.one_hot(types, cfg.num_atomic_states, dtype=jnp.float32)
         pred_eps, pred_logits, pred_global = model.predict_scores(
-            params, frac, onehot, t, num_atoms, lengths, angles, atom_mask
+            params, frac, onehot, t, num_atoms, lengths, ang, atom_mask
         )
         pred_x0 = pred_global[:, :3] * num_atoms.astype(jnp.float32)[:, None]
         new_lengths = vp_reverse_given_x0(model.vp, k_lat, lengths, pred_x0, t)
+        if cfg.diffuse_angles:
+            pred_enc = jnp.clip(pred_global[:, 3:9], -1.0, 1.0)
+            ang_enc = vp_reverse_given_x0(model.vp, k_ang2, ang_enc, pred_enc, t)
         new_frac = ve_reverse_step(model.ve, k_pos, frac, pred_eps, t)
         new_types = d3pm_reverse_step(model.d3pm, k_type, types, pred_logits, t_atom)
-        return new_frac, new_types, new_lengths, pred_x0
+        return new_frac, new_types, new_lengths, ang_enc, pred_x0
 
+    if ang_enc is None:
+        ang_enc = jnp.zeros((B, 6), jnp.float32)  # inert jit argument
     records = []
     abar = np.asarray(model.vp.alpha_bars)
     for timestep in range(cfg.num_timesteps - 1, 0, -1):
         key, sub = jax.random.split(key)
-        frac, types, lengths, pred_x0 = step(frac, types, lengths, timestep, sub)
+        frac, types, lengths, ang_enc, pred_x0 = step(
+            frac, types, lengths, ang_enc, timestep, sub
+        )
         if timestep % args.record_every == 0 or timestep in (1, cfg.num_timesteps - 1):
             ln = np.asarray(lengths)
             px = np.asarray(pred_x0)

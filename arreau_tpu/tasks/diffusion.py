@@ -270,9 +270,12 @@ class DiffusionModel:
         """Run the backbone on the noisy state.
 
         Returns (pred_frac_eps ``[B, A, 3]``, pred_type_logits ``[B, A, C]``,
-        pred_global ``[B, 3]`` — per-atom-scaled lattice-length x0; with
-        ``diffuse_angles`` the global head is ``[B, 9]``, columns 3:9 being
-        the sin/cos-encoded angle x0-prediction).
+        pred_global). pred_global is the whole global head — ``[B, 3]``
+        normally, ``[B, 9]`` with ``diffuse_angles``. ALWAYS slice it:
+        ``[:, :3]`` is the per-atom-scaled lattice-length x0, ``[:, 3:9]``
+        the sin/cos-encoded angle x0. Using the tensor un-sliced as
+        "lengths" silently mixes angle channels into length math on
+        angle-diffused checkpoints.
         """
         inputs = self._build_inputs(
             noisy_frac, noisy_types_onehot, t, num_atoms, noisy_lengths, angles, atom_mask

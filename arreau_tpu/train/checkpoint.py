@@ -126,8 +126,21 @@ class CheckpointManager:
 
         Useful for inference, where only ``params``/``ema_params`` are needed
         and the optimizer-state structure may not match the current
-        optimizer."""
-        return self._ckptr.restore(self.path(tag))
+        optimizer. Topology-portable: a checkpoint saved on an N-device mesh
+        (orbax records the save-time shardings) restores on any device set —
+        when the recorded devices don't exist here, arrays are read back as
+        host numpy instead (the template-less restore would otherwise raise
+        ``ValueError: available devices are different``; e.g. train on a pod,
+        generate on one chip)."""
+        try:
+            return self._ckptr.restore(self.path(tag))
+        except ValueError:
+            ckptr = ocp.PyTreeCheckpointer()
+            meta = ckptr.metadata(self.path(tag)).item_metadata
+            restore_args = jax.tree.map(
+                lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta
+            )
+            return ckptr.restore(self.path(tag), restore_args=restore_args)
 
     def load_meta(self) -> dict:
         with open(_meta_path(self.directory)) as f:

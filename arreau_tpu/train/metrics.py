@@ -67,15 +67,20 @@ def weighted_update(acc: MeanMetrics, metrics: dict) -> None:
     acc.update(m, weights)
 
 
-def exact_loss(m: dict) -> dict:
+def exact_loss(m: dict, angle_weight: float = 1.0) -> dict:
     """Recompose the composite loss from exactly-weighted components: the
     batch-level composite mixes per-atom and per-crystal denominators, so its
-    direct mean depends on batch layout; the component sum does not."""
+    direct mean depends on batch layout; the component sum does not.
+
+    ``angle_weight`` must match the training ``angle_loss_weight`` so the
+    recomposed loss (which also drives best-checkpoint ranking) is the same
+    objective the optimizer sees. The coord/type/lattice weights are the
+    reference-pinned 1/1/1 and are not configurable at the CLI."""
     if all(k in m for k in ("loss_coord", "loss_type", "loss_lattice")):
         m = dict(m)
         m["loss"] = (
             m["loss_coord"] + m["loss_type"] + m["loss_lattice"]
-            + m.get("loss_angle", 0.0)
+            + angle_weight * m.get("loss_angle", 0.0)
         )
     return m
 
