@@ -138,3 +138,16 @@ def test_loss_excludes_padding_examples():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_exact_loss_angle_weighting():
+    """The recomposed loss must weight loss_angle by the training
+    angle_loss_weight (it drives best-checkpoint ranking)."""
+    m = {"loss_coord": 0.5, "loss_type": 1.0, "loss_lattice": 0.25,
+         "loss_angle": 0.8, "loss": 999.0}
+    assert exact_loss(m)["loss"] == pytest.approx(0.5 + 1.0 + 0.25 + 0.8)
+    assert exact_loss(m, angle_weight=0.1)["loss"] == pytest.approx(
+        0.5 + 1.0 + 0.25 + 0.08
+    )
+    no_angle = {"loss_coord": 0.5, "loss_type": 1.0, "loss_lattice": 0.25}
+    assert exact_loss(no_angle, angle_weight=0.1)["loss"] == pytest.approx(1.75)
