@@ -34,6 +34,15 @@ def parse_args(argv=None):
     p.add_argument("--type_temperature", type=float, default=1.0,
                    help="gumbel scale for D3PM type draws (1.0 = reference "
                         "semantics, 0.0 = posterior argmax)")
+    p.add_argument("--sample_steps", type=int, default=None,
+                   help="strided (fewer-step) sampling: run only S reverse "
+                        "steps with DDIM-family t->s updates on all three "
+                        "chains (cost scales S/T). Default None = the full "
+                        "T-step reference chain")
+    p.add_argument("--ddim_eta", type=float, default=0.0,
+                   help="strided-mode stochasticity: 0 = deterministic DDIM, "
+                        "1 = ancestral posterior noise (only with "
+                        "--sample_steps)")
     p.add_argument(
         "--constant_atomic_symbols",
         type=str,
@@ -165,6 +174,10 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
 
+    if args.gif and args.sample_steps is not None:
+        print("gif snapshots are not supported with --sample_steps; disabling gif")
+        args.gif = False
+
     def _sample(p, k):
         return model.sample(
             p,
@@ -174,6 +187,8 @@ def main(argv=None):
             constant_atoms=constant_atoms,
             length_bounds=length_bounds,
             type_temperature=args.type_temperature,
+            sample_steps=args.sample_steps,
+            ddim_eta=args.ddim_eta,
         )
 
     # Data-parallel sampling: crystals are independent, so sharding the batch
@@ -232,8 +247,13 @@ def main(argv=None):
         print(f"generated {args.num_crystals - remaining}/{args.num_crystals}")
     if n_timed > 0:
         dt = _time.perf_counter() - t_gen0
+        n_steps = (
+            args.sample_steps
+            if args.sample_steps is not None
+            else model.config.num_timesteps
+        )
         print(f"sampler throughput: {n_timed / dt * 60:.0f} crystals/min "
-              f"(T={model.config.num_timesteps} reverse steps, warm jit)")
+              f"({n_steps} reverse steps, warm jit)")
 
     if snapshots:
         from arreau_tpu.inference.visualize import generate_gif, vis_crystal_during_sampling

@@ -56,6 +56,22 @@ def make_d3pm_tables(
     the knob for the type-geometry mutual-information ceiling experiment
     (BASELINE.md).
     """
+    one_step = _one_step_mats(num_steps, num_classes, forward_type, mask_prob)
+
+    q_mats = np.zeros_like(one_step)
+    q_mats[0] = one_step[0]
+    for idx in range(1, num_steps):
+        q_mats[idx] = q_mats[idx - 1] @ one_step[idx]
+
+    return D3PMTables(
+        q_one_step_transposed=jnp.asarray(one_step.transpose(0, 2, 1), dtype=dtype),
+        q_mats=jnp.asarray(q_mats, dtype=dtype),
+        hybrid_loss_coeff=hybrid_loss_coeff,
+    )
+
+
+def _one_step_mats(num_steps: int, num_classes: int, forward_type: str, mask_prob: float) -> np.ndarray:
+    """Host-side one-step transition matrices Q_1..Q_T (fp64)."""
     betas = [1.0 / (num_steps - t + 1) for t in range(1, num_steps + 1)]
     one_step = np.zeros((num_steps, num_classes, num_classes), dtype=np.float64)
     for i, beta in enumerate(betas):
@@ -70,17 +86,74 @@ def make_d3pm_tables(
         else:
             raise NotImplementedError(forward_type)
         one_step[i] = mat
+    return one_step
 
-    q_mats = np.zeros_like(one_step)
-    q_mats[0] = one_step[0]
-    for idx in range(1, num_steps):
-        q_mats[idx] = q_mats[idx - 1] @ one_step[idx]
 
-    return D3PMTables(
-        q_one_step_transposed=jnp.asarray(one_step.transpose(0, 2, 1), dtype=dtype),
-        q_mats=jnp.asarray(q_mats, dtype=dtype),
-        hybrid_loss_coeff=hybrid_loss_coeff,
-    )
+def make_strided_transitions(
+    num_steps: int,
+    num_classes: int,
+    ts: np.ndarray,
+    forward_type: str = "mask",
+    mask_prob: float = MASK_TRANSITION_PROB,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Transposed strided transition matrices for a timestep subsequence.
+
+    ``ts`` is an increasing int array of timesteps ``0 = ts[0] < ... <
+    ts[-1] = T-1`` (sampler state levels). Returns ``[K, C, C]`` where entry
+    ``k`` is ``(Q_{s+1} Q_{s+2} ... Q_t)^T`` for the pair ``s = ts[k], t =
+    ts[k+1]`` — i.e. the transposed transition kernel of the forward chain
+    from level s to level t, the strided analogue of
+    ``q_one_step_transposed``. Built host-side in fp64 like
+    :func:`make_d3pm_tables`. Beyond-parity: the reference D3PM
+    (/root/reference/diffusion/d3pm.py:25-65) only tabulates adjacent steps.
+    """
+    ts = np.asarray(ts, dtype=np.int64)
+    if ts.ndim != 1 or ts.size < 2 or np.any(np.diff(ts) <= 0):
+        raise ValueError("ts must be a strictly increasing timestep sequence")
+    if ts[-1] > num_steps - 1 or ts[0] < 0:
+        raise ValueError(f"ts out of range [0, {num_steps - 1}]")
+    one_step = _one_step_mats(num_steps, num_classes, forward_type, mask_prob)
+    out = np.zeros((ts.size - 1, num_classes, num_classes), dtype=np.float64)
+    for k in range(ts.size - 1):
+        s, t = int(ts[k]), int(ts[k + 1])
+        # Q_{s -> t} = Q_{s+1} ... Q_t ; one_step[i] is Q_{i+1}
+        mat = np.eye(num_classes)
+        for i in range(s, t):
+            mat = mat @ one_step[i]
+        out[k] = mat
+    return jnp.asarray(out.transpose(0, 2, 1), dtype=dtype)
+
+
+def d3pm_strided_reverse_step(
+    tables: D3PMTables,
+    q_strided_transposed: jax.Array,
+    key: jax.Array,
+    xt: jax.Array,
+    predicted_x0_logits: jax.Array,
+    s: jax.Array,
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Strided gumbel posterior step t -> s using a precomputed strided
+    transition (one ``[C, C]`` transposed matrix from
+    :func:`make_strided_transitions`).
+
+    ``q(x_s | x_t, x0) \\propto q(x_t | x_s) q(x_s | x0)`` — identical shape
+    to the adjacent-step posterior with ``Q_t`` replaced by ``Q_{s->t}`` and
+    ``Qbar_{t-1}`` by ``Qbar_s``. ``s``: ``[B, A]`` target level; ``s == 0``
+    samples from the x0 logits directly (the strided analogue of the
+    reference's ``t == 1`` case, d3pm.py:94-101) with the same 5x gumbel
+    damping as the final adjacent step.
+    """
+    fact1 = q_strided_transposed[xt, :]  # [B, A, C]
+    softmaxed = jax.nn.softmax(predicted_x0_logits, axis=-1)
+    qbar_s = tables.q_mats[jnp.maximum(s - 1, 0)]  # [B, A, C, C]
+    fact2 = jnp.einsum("...c,...cd->...d", softmaxed, qbar_s)
+    post = jnp.log(fact1 + EPS) + jnp.log(fact2 + EPS)
+    post = jnp.where((s == 0)[..., None], predicted_x0_logits, post)
+    g = _gumbel(key, post.shape, post.dtype)
+    damp = 0.2 + (s != 0).astype(post.dtype) * 0.8
+    return jnp.argmax(post + g * (temperature * damp[..., None]), axis=-1)
 
 
 def _gumbel(key: jax.Array, shape, dtype) -> jax.Array:

@@ -90,3 +90,39 @@ def ve_reverse_step(
     std = jnp.sqrt(jnp.maximum(adj**2 * (sig**2 - adj**2) / (sig**2), 0.0))
     noise = jax.random.normal(key, frac_xt.shape, dtype=frac_xt.dtype)
     return (mean + std * noise) % 1.0
+
+
+def ve_ddim_step(
+    schedule: VESchedule,
+    key: jax.Array,
+    frac_xt: jax.Array,
+    pred_eps: jax.Array,
+    t: jax.Array,
+    s: jax.Array,
+    eta: float = 0.0,
+) -> jax.Array:
+    """Strided reverse step sigma_t -> sigma_s (s < t) on wrapped coords.
+
+    The VE forward is ``x_t = x0 + sigma_t eps``; the model predicts the
+    (min-image) displacement ``pred_eps = x_t - x0``, so ``x0_hat = x_t -
+    pred_eps``. The DDIM family of updates preserving the q(x_s | x0)
+    marginal under an exact prediction is
+
+    ``x_s = x0_hat + sqrt(sigma_s^2 - sig_n^2)/sigma_t * pred_eps + sig_n z``
+
+    with ``sig_n = eta * sigma_s * sqrt(1 - sigma_s^2/sigma_t^2)`` (eta = 0:
+    deterministic; eta = 1: the exact ancestral posterior q(x_s | x_t, x0),
+    whose std matches :func:`ve_reverse_step`'s). All arithmetic stays in
+    fractional space and re-wraps mod 1. Beyond-parity: the reference has no
+    strided sampler; note its adjacent-step mean uses the annealed-Langevin
+    step ``pred_eps (sigma_t^2 - sigma_{t-1}^2)`` (diffusion_helpers.py:65-81)
+    rather than this exact posterior mean — the two agree only as the per-step
+    sigma ratio -> 1.
+    """
+    sig_t = schedule.sigmas[t][:, None, None]
+    sig_s = jnp.where((s == 0)[:, None, None], 0.0, schedule.sigmas[jnp.maximum(s, 0)][:, None, None])
+    sig_n = eta * sig_s * jnp.sqrt(jnp.maximum(1 - sig_s**2 / sig_t**2, 0.0))
+    dir_coef = jnp.sqrt(jnp.maximum(sig_s**2 - sig_n**2, 0.0)) / sig_t
+    x0_hat = frac_xt - pred_eps
+    noise = jax.random.normal(key, frac_xt.shape, dtype=frac_xt.dtype)
+    return (x0_hat + dir_coef * pred_eps + sig_n * noise) % 1.0

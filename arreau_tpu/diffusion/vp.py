@@ -111,6 +111,45 @@ def vp_reverse_given_x0(
     return mean + variance * z
 
 
+def vp_ddim_step_given_x0(
+    schedule: VPSchedule,
+    key: jax.Array,
+    xt: jax.Array,
+    pred_x0: jax.Array,
+    t: jax.Array,
+    s: jax.Array,
+    eta: float = 0.0,
+) -> jax.Array:
+    """Generalized (strided) reverse step t -> s (s < t) from an x0-prediction
+    — DDIM (Song et al. 2021, eq. 12) specialized to x0-parameterization.
+
+    ``x_s = sqrt(abar_s) x0 + sqrt(1 - abar_s - sig^2) eps_implied + sig z``
+    with ``eps_implied = (x_t - sqrt(abar_t) x0) / sqrt(1 - abar_t)`` and
+    ``sig = eta * sqrt((1-abar_s)/(1-abar_t)) * sqrt(1 - abar_t/abar_s)``.
+
+    ``eta = 0`` is the deterministic DDIM update; ``eta = 1`` recovers the
+    ancestral DDPM posterior std for adjacent steps. For an exact
+    eps-prediction the marginal q(x_s | x0) = N(sqrt(abar_s) x0, 1-abar_s)
+    is preserved for any eta (tests/test_strided_sampler.py). ``s == 0``
+    returns the x0 prediction (abar_0 = 1). Beyond-parity: the reference
+    sampler has no strided mode (diffusion_helpers.py:185-199 is the
+    adjacent-step posterior only).
+    """
+    abar_t = schedule.alpha_bars[t][:, None]
+    abar_s = schedule.alpha_bars[s][:, None]
+    eps_implied = (xt - jnp.sqrt(abar_t) * pred_x0) / jnp.sqrt(1 - abar_t + EPSILON)
+    sig = eta * jnp.sqrt((1 - abar_s) / (1 - abar_t + EPSILON)) * jnp.sqrt(
+        jnp.maximum(1 - abar_t / (abar_s + EPSILON), 0.0)
+    )
+    dir_coef = jnp.sqrt(jnp.maximum(1 - abar_s - sig**2, 0.0))
+    z = jnp.where(
+        (s > 0)[:, None],
+        jax.random.normal(key, xt.shape, dtype=xt.dtype),
+        jnp.zeros_like(xt),
+    )
+    return jnp.sqrt(abar_s) * pred_x0 + dir_coef * eps_implied + sig * z
+
+
 def vp_reverse_without_noise(
     schedule: VPSchedule, ht: jax.Array, pred_eps: jax.Array, t: jax.Array
 ) -> jax.Array:

@@ -25,10 +25,24 @@ from arreau_tpu.diffusion.d3pm import (
     d3pm_loss,
     d3pm_reverse_step,
     d3pm_sample_xt,
+    d3pm_strided_reverse_step,
     make_d3pm_tables,
+    make_strided_transitions,
 )
-from arreau_tpu.diffusion.ve import VESchedule, make_ve_schedule, ve_forward_pbc, ve_reverse_step
-from arreau_tpu.diffusion.vp import VPSchedule, make_vp_schedule, vp_forward, vp_reverse_given_x0
+from arreau_tpu.diffusion.ve import (
+    VESchedule,
+    make_ve_schedule,
+    ve_ddim_step,
+    ve_forward_pbc,
+    ve_reverse_step,
+)
+from arreau_tpu.diffusion.vp import (
+    VPSchedule,
+    make_vp_schedule,
+    vp_ddim_step_given_x0,
+    vp_forward,
+    vp_reverse_given_x0,
+)
 from arreau_tpu.models.ponita import FiberBundleInputs, PonitaConfig, PonitaFiberBundle
 from arreau_tpu.ops.fourier import gaussian_fourier_features, make_fourier_weights
 from arreau_tpu.ops.grids import cached_grid_s2
@@ -395,6 +409,8 @@ class DiffusionModel:
         snapshot_every: Optional[int] = None,
         length_bounds: Optional[tuple[float, float]] = None,
         type_temperature: float = 1.0,
+        sample_steps: Optional[int] = None,
+        ddim_eta: float = 0.0,
     ) -> CrystalBatch:
         """Full reverse diffusion as one jit-compiled ``lax.fori_loop``
         (reference ``DiffusionLoss.sample``, diffusion_loss.py:276-377).
@@ -422,6 +438,17 @@ class DiffusionModel:
         diffused alongside the lengths (``lattice_type`` is ignored): the
         prior is N(0,1) on the sin/cos encoding and each step applies the
         same x0-posterior update as the lengths.
+
+        ``sample_steps``: beyond-parity strided sampling — run only S << T
+        reverse steps on a uniformly-strided timestep subsequence, using the
+        generalized (DDIM-family) t -> s updates for all three chains: VE
+        coords (:func:`ve_ddim_step`), VP lengths/angles
+        (:func:`vp_ddim_step_given_x0`), and D3PM types via exact strided
+        transition products (:func:`d3pm_strided_reverse_step`). One model
+        forward per strided step, so generation cost scales as S/T.
+        ``ddim_eta`` interpolates determinism: 0.0 = deterministic DDIM
+        (default), 1.0 = ancestral-posterior noise. ``None`` (default) or
+        ``sample_steps >= T-1`` keeps the exact reference chain.
         """
         cfg = self.config
         B, A = num_samples, num_atoms_per_sample
@@ -491,6 +518,72 @@ class DiffusionModel:
 
         carry0 = (frac0, types0, lengths0, ang_enc0, k_loop)
         total = cfg.num_timesteps - 1
+
+        if sample_steps is not None and sample_steps < total:
+            if snapshot_every is not None:
+                raise ValueError("snapshots are not supported with strided sampling")
+            # Uniformly-strided chain levels 0 = ts[0] < ... < ts[-1] = T-1
+            # (host-side, static). Each loop iteration runs one t -> s jump.
+            ts = np.unique(
+                np.round(np.linspace(0, total, sample_steps + 1)).astype(np.int64)
+            )
+            ts_j = jnp.asarray(ts, jnp.int32)
+            num_strided = ts.size - 1
+            q_strided_T = make_strided_transitions(
+                cfg.num_timesteps,
+                cfg.num_atomic_states,
+                ts,
+                "mask",
+                mask_prob=cfg.mask_prob,
+                dtype=self.dtype,
+            )
+
+            def strided_step(k, carry):
+                frac, types, lengths, ang_enc, key = carry
+                idx = num_strided - 1 - k  # pairs walked high-noise -> clean
+                t = jnp.full((B,), ts_j[idx + 1], jnp.int32)
+                s = jnp.full((B,), ts_j[idx], jnp.int32)
+                s_atom = jnp.broadcast_to(s[:, None], (B, A))
+                key, k_lat, k_pos, k_type, k_ang2 = jax.random.split(key, 5)
+
+                ang = _decode_angles_safe(ang_enc) if cfg.diffuse_angles else angles
+                types_onehot = jax.nn.one_hot(
+                    types, cfg.num_atomic_states, dtype=self.dtype
+                )
+                pred_eps, pred_type_logits, pred_global = self.predict_scores(
+                    params, frac, types_onehot, t, num_atoms, lengths, ang, atom_mask
+                )
+                pred_lengths_scaled = (
+                    pred_global[:, :3] * num_atoms.astype(self.dtype)[:, None]
+                )
+                if length_bounds is not None:
+                    pred_lengths_scaled = jnp.clip(
+                        pred_lengths_scaled, length_bounds[0], length_bounds[1]
+                    )
+                lengths = vp_ddim_step_given_x0(
+                    self.vp, k_lat, lengths, pred_lengths_scaled, t, s, ddim_eta
+                )
+                if cfg.diffuse_angles:
+                    pred_enc = jnp.clip(pred_global[:, 3:9], -1.0, 1.0)
+                    ang_enc = vp_ddim_step_given_x0(
+                        self.vp, k_ang2, ang_enc, pred_enc, t, s, ddim_eta
+                    )
+                frac = ve_ddim_step(self.ve, k_pos, frac, pred_eps, t, s, ddim_eta)
+                types = d3pm_strided_reverse_step(
+                    self.d3pm,
+                    q_strided_T[idx],
+                    k_type,
+                    types,
+                    pred_type_logits,
+                    s_atom,
+                    temperature=type_temperature,
+                )
+                if constant_atoms is not None:
+                    types = constant_atoms
+                return frac, types, lengths, ang_enc, key
+
+            carry = jax.lax.fori_loop(0, num_strided, strided_step, carry0)
+            return batch_of(carry)
 
         if snapshot_every is None:
             carry = jax.lax.fori_loop(0, total, step, carry0)

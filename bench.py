@@ -239,6 +239,25 @@ def bench_sampler(peak_tflops):
         }
         rows.append(row)
         print(f"sampler {bs}x{atoms}: {row}", file=sys.stderr, flush=True)
+
+    # strided (DDIM-family) sampler at the canonical point: cost scales S/T,
+    # so 50 steps ~ 20x the crystals/min of the full T=1000 chain
+    for steps in (50, 100):
+        bs, atoms = 100, 8
+        out = model.sample(params, jax.random.PRNGKey(0), bs, atoms, sample_steps=steps)
+        jax.block_until_ready(out.frac_x)
+        t0 = time.perf_counter()
+        out = model.sample(params, jax.random.PRNGKey(1), bs, atoms, sample_steps=steps)
+        jax.block_until_ready(out.frac_x)
+        dt = time.perf_counter() - t0
+        row = {
+            "batch": bs, "atoms": atoms, "sample_steps": steps,
+            "crystals_per_min": round(bs / dt * 60, 1),
+            "ms_per_reverse_step": round(dt / steps * 1000, 3),
+            "batch_seconds": round(dt, 2),
+        }
+        rows.append(row)
+        print(f"sampler {bs}x{atoms} strided S={steps}: {row}", file=sys.stderr, flush=True)
     return rows
 
 

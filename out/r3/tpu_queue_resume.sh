@@ -41,4 +41,13 @@ timeout 2400 python -u -m arreau_tpu.cli.generate --checkpoint_dir=out/r3/ckpt_a
   --num_atoms_per_sample=8 --clip_denoised=False --out_dir=out/r3/q_angles \
   --quality_ref=synthetic:20000:0
 
+# 7. strided (DDIM) sampler: throughput + quality at S=50/100 vs the full
+# T=1000 chain on the same trained checkpoint (comparison: q_mi002/quality.json)
+for S in 50 100; do
+  timeout 2400 python -u -m arreau_tpu.cli.generate --checkpoint_dir=out/r3/ckpt_mi002 \
+    --tag=best --use_ema=False --num_crystals=500 --batch_size=100 \
+    --num_atoms_per_sample=8 --clip_denoised=False --sample_steps=$S \
+    --out_dir=out/r3/q_ddim$S --quality_ref=synthetic:20000:0
+done
+
 echo QUEUE_DONE
