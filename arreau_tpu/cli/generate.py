@@ -174,7 +174,14 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
 
-    if args.gif and args.sample_steps is not None:
+    # The strided path only engages below T-1 (sample() falls back to the
+    # dense chain otherwise) — mirror that condition so gif handling and the
+    # throughput line describe the chain that actually ran.
+    strided = (
+        args.sample_steps is not None
+        and args.sample_steps < model.config.num_timesteps - 1
+    )
+    if args.gif and strided:
         print("gif snapshots are not supported with --sample_steps; disabling gif")
         args.gif = False
 
@@ -247,11 +254,7 @@ def main(argv=None):
         print(f"generated {args.num_crystals - remaining}/{args.num_crystals}")
     if n_timed > 0:
         dt = _time.perf_counter() - t_gen0
-        n_steps = (
-            args.sample_steps
-            if args.sample_steps is not None
-            else model.config.num_timesteps
-        )
+        n_steps = args.sample_steps if strided else model.config.num_timesteps
         print(f"sampler throughput: {n_timed / dt * 60:.0f} crystals/min "
               f"({n_steps} reverse steps, warm jit)")
 

@@ -197,9 +197,12 @@ class DiffusionModel:
         self.vp: VPSchedule = make_vp_schedule(
             config.num_timesteps, power=LATTICE_POWER, clipmax=LATTICE_CLIPMAX, dtype=dtype
         )
+        # Single source of truth for the D3PM forward process — the strided
+        # sampler rebuilds transition products and must use the same type.
+        self.d3pm_forward_type = "mask"
         self.d3pm: D3PMTables = make_d3pm_tables(
-            config.num_timesteps, config.num_atomic_states, "mask", dtype=dtype,
-            mask_prob=config.mask_prob,
+            config.num_timesteps, config.num_atomic_states, self.d3pm_forward_type,
+            dtype=dtype, mask_prob=config.mask_prob,
         )
         # Fixed (non-trainable) Fourier frequencies, deterministic per seed —
         # reference stores them as a requires_grad=False nn.Parameter.
@@ -473,13 +476,10 @@ class DiffusionModel:
         num_atoms = jnp.full((B,), A)
         atom_mask = jnp.ones((B, A), bool)
 
-        def step(i, carry):
-            frac, types, lengths, ang_enc, key = carry
-            timestep = cfg.num_timesteps - 1 - i  # T-1 ... 1
-            t = jnp.full((B,), timestep, jnp.int32)
-            t_atom = jnp.broadcast_to(t[:, None], (B, A))
-            key, k_lat, k_pos, k_type, k_ang2 = jax.random.split(key, 5)
-
+        def predict(frac, types, lengths, ang_enc, t):
+            """One model forward + x0 post-processing, shared by the dense and
+            strided step bodies so length clipping / angle clamping /
+            constant-atom handling can never diverge between the two chains."""
             ang = _decode_angles_safe(ang_enc) if cfg.diffuse_angles else angles
             types_onehot = jax.nn.one_hot(types, cfg.num_atomic_states, dtype=self.dtype)
             pred_eps, pred_type_logits, pred_global = self.predict_scores(
@@ -490,11 +490,25 @@ class DiffusionModel:
                 pred_lengths_scaled = jnp.clip(
                     pred_lengths_scaled, length_bounds[0], length_bounds[1]
                 )
+            # sin/cos x0 lives in [-1, 1] by definition — clamping the
+            # prediction is exact, not a heuristic stabilizer
+            pred_enc = (
+                jnp.clip(pred_global[:, 3:9], -1.0, 1.0) if cfg.diffuse_angles else None
+            )
+            return pred_eps, pred_type_logits, pred_lengths_scaled, pred_enc
+
+        def step(i, carry):
+            frac, types, lengths, ang_enc, key = carry
+            timestep = cfg.num_timesteps - 1 - i  # T-1 ... 1
+            t = jnp.full((B,), timestep, jnp.int32)
+            t_atom = jnp.broadcast_to(t[:, None], (B, A))
+            key, k_lat, k_pos, k_type, k_ang2 = jax.random.split(key, 5)
+
+            pred_eps, pred_type_logits, pred_lengths_scaled, pred_enc = predict(
+                frac, types, lengths, ang_enc, t
+            )
             lengths = vp_reverse_given_x0(self.vp, k_lat, lengths, pred_lengths_scaled, t)
             if cfg.diffuse_angles:
-                # sin/cos x0 lives in [-1, 1] by definition — clamping the
-                # prediction is exact, not a heuristic stabilizer
-                pred_enc = jnp.clip(pred_global[:, 3:9], -1.0, 1.0)
                 ang_enc = vp_reverse_given_x0(self.vp, k_ang2, ang_enc, pred_enc, t)
             frac = ve_reverse_step(self.ve, k_pos, frac, pred_eps, t)
             types = d3pm_reverse_step(
@@ -519,6 +533,8 @@ class DiffusionModel:
         carry0 = (frac0, types0, lengths0, ang_enc0, k_loop)
         total = cfg.num_timesteps - 1
 
+        if sample_steps is not None and sample_steps < 1:
+            raise ValueError(f"sample_steps must be >= 1, got {sample_steps}")
         if sample_steps is not None and sample_steps < total:
             if snapshot_every is not None:
                 raise ValueError("snapshots are not supported with strided sampling")
@@ -533,7 +549,7 @@ class DiffusionModel:
                 cfg.num_timesteps,
                 cfg.num_atomic_states,
                 ts,
-                "mask",
+                self.d3pm_forward_type,
                 mask_prob=cfg.mask_prob,
                 dtype=self.dtype,
             )
@@ -546,25 +562,13 @@ class DiffusionModel:
                 s_atom = jnp.broadcast_to(s[:, None], (B, A))
                 key, k_lat, k_pos, k_type, k_ang2 = jax.random.split(key, 5)
 
-                ang = _decode_angles_safe(ang_enc) if cfg.diffuse_angles else angles
-                types_onehot = jax.nn.one_hot(
-                    types, cfg.num_atomic_states, dtype=self.dtype
+                pred_eps, pred_type_logits, pred_lengths_scaled, pred_enc = predict(
+                    frac, types, lengths, ang_enc, t
                 )
-                pred_eps, pred_type_logits, pred_global = self.predict_scores(
-                    params, frac, types_onehot, t, num_atoms, lengths, ang, atom_mask
-                )
-                pred_lengths_scaled = (
-                    pred_global[:, :3] * num_atoms.astype(self.dtype)[:, None]
-                )
-                if length_bounds is not None:
-                    pred_lengths_scaled = jnp.clip(
-                        pred_lengths_scaled, length_bounds[0], length_bounds[1]
-                    )
                 lengths = vp_ddim_step_given_x0(
                     self.vp, k_lat, lengths, pred_lengths_scaled, t, s, ddim_eta
                 )
                 if cfg.diffuse_angles:
-                    pred_enc = jnp.clip(pred_global[:, 3:9], -1.0, 1.0)
                     ang_enc = vp_ddim_step_given_x0(
                         self.vp, k_ang2, ang_enc, pred_enc, t, s, ddim_eta
                     )
