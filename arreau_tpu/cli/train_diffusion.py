@@ -163,7 +163,13 @@ def main(argv=None):
     from arreau_tpu.tasks.diffusion import DiffusionConfig, DiffusionModel, rotate_batch
     from arreau_tpu.train.checkpoint import CheckpointManager, diffusion_meta
     from arreau_tpu.train.loop import make_eval_step, make_train_step
-    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics, exact_loss, weighted_update
+    from arreau_tpu.train.metrics import (
+        EpochTimer,
+        JsonlLogger,
+        MeanMetrics,
+        exact_loss,
+        weighted_update,
+    )
     from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
     from arreau_tpu.train.state import create_train_state
 
@@ -298,6 +304,9 @@ def main(argv=None):
             print("wandb not available; logging to stdout only")
 
     timer = EpochTimer()
+    # local metrics history, one JSON line per train/valid/test record —
+    # always on (wandb stays optional), appended across preemption resumes
+    jlog = JsonlLogger(os.path.join(args.checkpoint_dir, "metrics.jsonl"))
     # persisted across preemption resumes via the checkpoint scoreboard
     best_valid = ckpt.best_score() if args.resume else float("inf")
     global_step = int(state.step)
@@ -334,6 +343,8 @@ def main(argv=None):
               f"lattice {tm.get('loss_lattice', 0):.4f}{_angle_str(tm)}) | lr {lr_now:.2e} | {dt:.1f}s")
         if wandb_run:
             wandb_run.log({"epoch": epoch, "lr": lr_now, **{f"train/{k}": v for k, v in tm.items()}})
+        jlog.log({"epoch": epoch, "step": int(state.step), "lr": lr_now, "epoch_s": dt,
+                  **{f"train/{k}": v for k, v in tm.items()}})
 
         if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
             vm = MeanMetrics()
@@ -349,14 +360,18 @@ def main(argv=None):
                   f"lattice {v.get('loss_lattice', 0):.4f}{_angle_str(v)})")
             if wandb_run:
                 wandb_run.log({f"valid/{k}": val for k, val in v.items()})
-            ckpt.save(state, "last")
+            jlog.log({"epoch": epoch, "step": int(state.step),
+                      **{f"valid/{k}": val for k, val in v.items()}})
+            # non-blocking: the disk write overlaps the next training epoch
+            ckpt.save(state, "last", block=False)
             if v.get("loss", float("inf")) < best_valid:
                 best_valid = v["loss"]
             ckpt.save_ranked(state, v.get("loss", float("inf")), step=int(state.step))
         if args.max_steps is not None and global_step >= args.max_steps:
-            ckpt.save(state, "last")
+            ckpt.save(state, "last", block=False)
             break
 
+    ckpt.wait()  # commit any in-flight async save before the final test
     print(timer.summary())
 
     # final test with the best checkpoint (reference trainer.test(ckpt_path='best'))
@@ -376,6 +391,7 @@ def main(argv=None):
     if wandb_run:
         wandb_run.log({f"test/{k}": v for k, v in t.items()})
         wandb_run.finish()
+    jlog.log({"step": int(state.step), **{f"test/{k}": v for k, v in t.items()}})
     return t.get("loss")
 
 

@@ -10,6 +10,7 @@ forces) keeps the pipeline runnable offline.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 from arreau_tpu.cli.common import parse_bool, parse_opt_float
@@ -68,7 +69,7 @@ def main(argv=None):
     )
     from arreau_tpu.train.checkpoint import CheckpointManager
     from arreau_tpu.train.loop import make_train_step
-    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics
+    from arreau_tpu.train.metrics import EpochTimer, JsonlLogger, MeanMetrics
     from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
     from arreau_tpu.train.state import create_train_state
 
@@ -149,6 +150,7 @@ def main(argv=None):
     ckpt = CheckpointManager(args.checkpoint_dir, {"config": vars(args), "shift": shift, "scale": scale})
 
     timer = EpochTimer()
+    jlog = JsonlLogger(os.path.join(args.checkpoint_dir, "metrics.jsonl"))
     best = float("inf")
     global_step = 0
     for epoch in range(args.epochs):
@@ -180,12 +182,15 @@ def main(argv=None):
             v = vm.compute()
             vf = v.get("mae_force", float("nan"))
             print(f"epoch {epoch} | valid E-MAE {v.get('mae_energy', 0):.4f} F-MAE {vf:.4f}")
-            ckpt.save(state, "last")
+            jlog.log({"epoch": epoch, "step": global_step,
+                      "valid/mae_energy": v.get("mae_energy"), "valid/mae_force": vf})
+            ckpt.save(state, "last", block=False)
             if vf < best:
                 best = vf
                 ckpt.save(state, "best")
         if args.max_steps and global_step >= args.max_steps:
             break
+    ckpt.wait()
     print(timer.summary())
 
     # test with rotation-repeat averaging

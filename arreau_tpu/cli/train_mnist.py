@@ -9,6 +9,7 @@ shape classes otherwise.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 from arreau_tpu.cli.common import parse_bool, parse_opt_float
@@ -57,7 +58,7 @@ def main(argv=None):
     from arreau_tpu.tasks.mnist import Mnist2DBatch, MnistConfig, MnistModel, rotate_mnist_batch
     from arreau_tpu.train.checkpoint import CheckpointManager
     from arreau_tpu.train.loop import make_eval_step, make_train_step
-    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics
+    from arreau_tpu.train.metrics import EpochTimer, JsonlLogger, MeanMetrics
     from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
     from arreau_tpu.train.state import create_train_state
 
@@ -129,6 +130,7 @@ def main(argv=None):
     ckpt = CheckpointManager(args.checkpoint_dir, {"config": vars(args)})
 
     timer = EpochTimer()
+    jlog = JsonlLogger(os.path.join(args.checkpoint_dir, "metrics.jsonl"))
     best = 0.0
     global_step = 0
     for epoch in range(args.epochs):
@@ -159,12 +161,14 @@ def main(argv=None):
                 vm.update(m)
             v = vm.compute().get("accuracy", 0.0)
             print(f"epoch {epoch} | valid acc {v:.4f}")
-            ckpt.save(state, "last")
+            jlog.log({"epoch": epoch, "step": global_step, "valid/acc": v})
+            ckpt.save(state, "last", block=False)
             if v > best:
                 best = v
                 ckpt.save(state, "best")
         if args.max_steps and global_step >= args.max_steps:
             break
+    ckpt.wait()
     print(timer.summary())
 
     if ckpt.has("best"):
@@ -175,6 +179,7 @@ def main(argv=None):
         tmets.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
     acc = tmets.compute().get("accuracy", float("nan"))
     print(f"test accuracy {acc:.4f}")
+    jlog.log({"step": global_step, "test/acc": acc})
     return acc
 
 

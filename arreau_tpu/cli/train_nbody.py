@@ -11,6 +11,7 @@ absent.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 from arreau_tpu.cli.common import parse_bool, parse_opt_bool, parse_opt_float
@@ -74,7 +75,7 @@ def main(argv=None):
     from arreau_tpu.tasks.nbody import NBodyBatch, NBodyConfig, NBodyModel, rotate_nbody_batch
     from arreau_tpu.train.checkpoint import CheckpointManager
     from arreau_tpu.train.loop import make_eval_step, make_train_step
-    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics
+    from arreau_tpu.train.metrics import EpochTimer, JsonlLogger, MeanMetrics
     from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
     from arreau_tpu.train.state import create_train_state
 
@@ -136,6 +137,7 @@ def main(argv=None):
 
     ckpt = CheckpointManager(args.checkpoint_dir, {"config": vars(args)})
     timer = EpochTimer()
+    jlog = JsonlLogger(os.path.join(args.checkpoint_dir, "metrics.jsonl"))
     best = float("inf")
     global_step = 0
 
@@ -246,13 +248,16 @@ def main(argv=None):
                     vm.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
                 v = vm.compute().get("mse", float("nan"))
             print(f"epoch {epoch} | valid MSE {v:.6f}", flush=True)
-            ckpt.save(state, "last")
+            jlog.log({"epoch": epoch, "step": global_step,
+                      "train/mse": t.get("mse"), "epoch_s": dt, "valid/mse": v})
+            ckpt.save(state, "last", block=False)
             if v < best:
                 best = v
                 ckpt.save(state, "best")
         if args.max_steps and global_step >= args.max_steps:
             break
 
+    ckpt.wait()
     print(timer.summary())
     if ckpt.has("best"):
         state = ckpt.restore(state, "best")
@@ -266,6 +271,7 @@ def main(argv=None):
             tmets.update(eval_step(state, k_eval, shard_batch(batch, mesh)))
         test_mse = tmets.compute().get("mse", float("nan"))
     print(f"test MSE {test_mse:.6f}")
+    jlog.log({"step": global_step, "test/mse": test_mse})
     return test_mse
 
 

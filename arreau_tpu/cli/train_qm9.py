@@ -10,6 +10,7 @@ molecules so the pipeline runs offline.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 from arreau_tpu.cli.common import parse_bool, parse_opt_float
@@ -63,7 +64,7 @@ def main(argv=None):
     from arreau_tpu.tasks.qm9 import MoleculeBatch, QM9Config, QM9Model, rotate_molecule_batch
     from arreau_tpu.train.checkpoint import CheckpointManager
     from arreau_tpu.train.loop import make_eval_step, make_train_step
-    from arreau_tpu.train.metrics import EpochTimer, MeanMetrics
+    from arreau_tpu.train.metrics import EpochTimer, JsonlLogger, MeanMetrics
     from arreau_tpu.train.optim import cosine_warmup_schedule, make_optimizer
     from arreau_tpu.train.state import create_train_state
 
@@ -132,6 +133,7 @@ def main(argv=None):
     ckpt = CheckpointManager(args.checkpoint_dir, {"config": vars(args), "shift": shift, "scale": scale})
 
     timer = EpochTimer()
+    jlog = JsonlLogger(os.path.join(args.checkpoint_dir, "metrics.jsonl"))
     best = float("inf")
     global_step = 0
     for epoch in range(args.epochs):
@@ -161,12 +163,14 @@ def main(argv=None):
                 vm.update(m)
             v = vm.compute().get("mae", float("nan"))
             print(f"epoch {epoch} | valid MAE {v:.6f}")
-            ckpt.save(state, "last")
+            jlog.log({"epoch": epoch, "step": global_step, "valid/mae": v})
+            ckpt.save(state, "last", block=False)
             if v < best:
                 best = v
                 ckpt.save(state, "best")
         if args.max_steps and global_step >= args.max_steps:
             break
+    ckpt.wait()
     print(timer.summary())
 
     if ckpt.has("best"):
@@ -180,6 +184,7 @@ def main(argv=None):
         tmets.update(m)
     test_mae = tmets.compute().get("mae", float("nan"))
     print(f"test MAE {test_mae:.6f}")
+    jlog.log({"step": global_step, "test/mae": test_mae})
     return test_mae
 
 

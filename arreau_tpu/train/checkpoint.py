@@ -112,12 +112,27 @@ class CheckpointManager:
     def path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
 
-    def save(self, state: TrainState, tag: str = "last") -> None:
+    def save(self, state: TrainState, tag: str = "last", block: bool = True) -> None:
+        """Save ``state`` under ``tag``.
+
+        ``block=False`` returns as soon as orbax has snapshotted the arrays to
+        host memory and overlaps the disk write with subsequent training
+        (orbax's AsyncCheckpointer; the reference's Lightning saves are always
+        blocking). At most one save is in flight: a new save first waits for
+        the previous one, and :meth:`wait`/:meth:`restore`/:meth:`has` are
+        in-flight-safe."""
         target = self.path(tag)
+        self._ckptr.wait_until_finished()  # one in-flight save max
         self._ckptr.save(target, _to_global(state), force=True)
+        if block:
+            self._ckptr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed to disk."""
         self._ckptr.wait_until_finished()
 
     def restore(self, template: TrainState, tag: str = "last") -> TrainState:
+        self._ckptr.wait_until_finished()
         restored = self._ckptr.restore(self.path(tag), _to_global(template))
         return _to_host_local(restored)
 
@@ -132,6 +147,7 @@ class CheckpointManager:
         host numpy instead (the template-less restore would otherwise raise
         ``ValueError: available devices are different``; e.g. train on a pod,
         generate on one chip)."""
+        self._ckptr.wait_until_finished()
         try:
             return self._ckptr.restore(self.path(tag))
         except ValueError:
@@ -147,6 +163,7 @@ class CheckpointManager:
             return json.load(f)
 
     def has(self, tag: str = "last") -> bool:
+        self._ckptr.wait_until_finished()
         return os.path.exists(self.path(tag))
 
     # ---- ranked (top-k) retention, reference ModelCheckpoint save_top_k=3

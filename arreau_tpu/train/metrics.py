@@ -110,3 +110,36 @@ class EpochTimer:
             f"epoch time mean {np.mean(self.times):.2f}s "
             f"± {np.std(self.times):.2f}s over {len(self.times)} epochs"
         )
+
+
+class JsonlLogger:
+    """Append-only local metrics log: one JSON object per line.
+
+    Always-on, dependency-free replacement for the reference's wandb/Lightning
+    loggers (main_diffusion.py WandbLogger) — a run's full metric history is
+    recoverable from <checkpoint_dir>/metrics.jsonl without any service.
+    Appends (preemption resume continues the same file) and writes on process
+    0 only in multi-host runs. ``path=None`` disables it (no-op logger)."""
+
+    def __init__(self, path):
+        import jax
+
+        self.path = path if (path and jax.process_index() == 0) else None
+        if self.path:
+            import os
+
+            os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+
+    def log(self, record: dict) -> None:
+        if not self.path:
+            return
+        import json
+
+        with open(self.path, "a") as f:
+            f.write(json.dumps({k: _jsonable(v) for k, v in record.items()}) + "\n")
+
+
+def _jsonable(v):
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    return v

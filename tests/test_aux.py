@@ -215,6 +215,49 @@ def test_checkpoint_ranked_retention(tmp_path):
     assert float(restored.params["w"][0]) == 1.0
 
 
+def test_checkpoint_async_save_roundtrip(tmp_path):
+    """Non-blocking saves commit correctly: overlapping async 'last' saves,
+    then restore sees the newest state; has()/restore() are in-flight-safe."""
+    import jax.numpy as jnp
+
+    from arreau_tpu.train.checkpoint import CheckpointManager
+    from arreau_tpu.train.optim import make_optimizer
+    from arreau_tpu.train.state import create_train_state
+
+    tx = make_optimizer(1e-3)
+    ck = CheckpointManager(str(tmp_path))
+    for v in (1.0, 2.0, 3.0):
+        state = create_train_state({"w": jnp.full((2,), v)}, tx)
+        ck.save(state, "last", block=False)  # back-to-back without waiting
+    assert ck.has("last")  # waits for the in-flight save internally
+    template = create_train_state({"w": jnp.zeros((2,))}, tx)
+    restored = ck.restore(template, "last")
+    assert float(restored.params["w"][0]) == 3.0
+    ck.wait()  # idempotent when nothing is in flight
+
+
+def test_jsonl_logger(tmp_path):
+    """One JSON object per line, appended across logger restarts (preemption
+    resume), numpy scalars serialized; path=None is a no-op."""
+    import json
+
+    import numpy as np
+
+    from arreau_tpu.train.metrics import JsonlLogger
+
+    path = tmp_path / "metrics.jsonl"
+    log = JsonlLogger(str(path))
+    log.log({"epoch": 0, "train/loss": np.float32(1.5)})
+    log2 = JsonlLogger(str(path))  # resumed run appends
+    log2.log({"epoch": 1, "train/loss": 1.25, "lr": np.float64(3e-4)})
+    lines = [json.loads(line) for line in path.read_text().splitlines()]
+    assert lines == [
+        {"epoch": 0, "train/loss": 1.5},
+        {"epoch": 1, "train/loss": 1.25, "lr": 3e-4},
+    ]
+    JsonlLogger(None).log({"x": 1})  # no-op, no crash
+
+
 def test_voronoi_bond_prediction():
     """CrystalNN-style PBC Voronoi solid-angle bonds: rock-salt coordination
     and an isolated dimer (reference semantics: pymatgen CrystalNN in
