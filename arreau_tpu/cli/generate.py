@@ -119,6 +119,11 @@ def load_model(checkpoint_dir: str, tag: str, use_ema: bool, return_meta: bool =
     cfg = DiffusionConfig(**meta["config"])
     z_table = AtomicNumberTable(meta["z_table_zs"])
     model = DiffusionModel(cfg)
+    if meta.get("fourier_w") is not None:
+        # imported reference checkpoints carry their own fixed Fourier
+        # frequencies (interop/torch_import.py) — use them so the time
+        # embedding matches the training run exactly
+        model.fourier_w = jnp.asarray(meta["fourier_w"], model.dtype)
 
     raw = ckpt.restore_raw(tag)
     if isinstance(raw, (list, tuple)):  # TrainState tuple order
