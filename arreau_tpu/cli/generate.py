@@ -102,6 +102,7 @@ def quality_from_results(result, z_table, quality_ref: str) -> dict:
         ref_type_mi=ref["type_mi"],
         ref_coord_hist=ref["coord_hist"],
         ref_mean_num_atoms=ref["mean_num_atoms"],
+        ref_fingerprints=ref["fingerprints"],
     ) | {"ref_min_dist_violation_rate": ref["min_dist_violation_rate"]}
 
 

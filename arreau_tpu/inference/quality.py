@@ -92,6 +92,74 @@ def min_distance_violation_rate(
     return violations / max(n_crystals, 1)
 
 
+def _pairwise_min_image_dists(frac: np.ndarray, lattice: np.ndarray) -> np.ndarray:
+    """All unique-pair min-image distances of one crystal (sorted, [n*(n-1)/2])."""
+    n = len(frac)
+    if n < 2:
+        return np.zeros((0,), np.float64)
+    cart = (np.asarray(frac, np.float64) % 1.0) @ np.asarray(lattice, np.float64)
+    best = np.full((n, n), np.inf)
+    for off in PBC_OFFSETS:
+        shift = off @ lattice
+        d = cart[:, None, :] - (cart[None, :, :] + shift)
+        sqr = (d**2).sum(-1)
+        if (off == 0).all():
+            np.fill_diagonal(sqr, np.inf)
+        best = np.minimum(best, sqr)
+    iu = np.triu_indices(n, 1)
+    return np.sort(np.sqrt(best[iu]))
+
+
+def structure_fingerprint(
+    frac: np.ndarray,
+    types: np.ndarray,
+    lattice: np.ndarray,
+    length_quant: float = 0.25,
+    angle_quant: float = 5.0,
+    dist_quant: float = 0.25,
+) -> tuple:
+    """Coarse invariant fingerprint of one crystal for duplicate detection.
+
+    Composition (sorted type counts) + quantized sorted lattice params +
+    quantized sorted pairwise min-image distance multiset: invariant to
+    rotation, translation, and atom permutation. NOT a full structure match
+    (no Niggli reduction / supercell equivalence — pymatgen's
+    StructureMatcher territory); a coarse proxy for uniqueness/novelty
+    counting, biased toward over-merging at these quantizations."""
+    lengths, angles = lattice_params_np(np.asarray(lattice)[None])
+    counts = np.bincount(np.asarray(types).ravel())
+    comp = tuple(sorted((int(t), int(c)) for t, c in enumerate(counts) if c > 0))
+    ql = tuple(sorted(np.round(lengths[0] / length_quant).astype(int).tolist()))
+    qa = tuple(sorted(np.round(angles[0] / angle_quant).astype(int).tolist()))
+    qd = tuple(
+        np.round(_pairwise_min_image_dists(frac, lattice) / dist_quant)
+        .astype(int)
+        .tolist()
+    )
+    return (comp, ql, qa, qd)
+
+
+def fingerprint_set(
+    frac_x: np.ndarray,
+    types: np.ndarray,
+    lattices: np.ndarray,
+    idx_start: np.ndarray,
+    num_atoms: np.ndarray,
+    max_crystals: int | None = None,
+) -> list:
+    """Fingerprints for a flattened crystal collection (optionally subsampled
+    evenly — the distance multiset is O(n^2 * 27) per crystal)."""
+    n = len(num_atoms)
+    idx = range(n)
+    if max_crystals is not None and n > max_crystals:
+        idx = np.linspace(0, n - 1, max_crystals).astype(int)
+    out = []
+    for i in idx:
+        s, k = int(idx_start[i]), int(num_atoms[i])
+        out.append(structure_fingerprint(frac_x[s : s + k], types[s : s + k], lattices[i]))
+    return out
+
+
 def type_geometry_mutual_info(
     types: np.ndarray, frac_z: np.ndarray, num_types: int, num_bins: int = 8
 ) -> float:
@@ -165,6 +233,7 @@ def quality_report(
     min_dist_threshold: float = 0.5,
     ref_coord_hist: np.ndarray | None = None,
     ref_mean_num_atoms: float | None = None,
+    ref_fingerprints: list | None = None,
 ) -> dict:
     """Full quality report of generated crystals vs training statistics.
 
@@ -214,6 +283,15 @@ def quality_report(
             report["gen_mean_num_atoms"] = gen_mean
             report["ref_mean_num_atoms"] = float(ref_mean_num_atoms)
             report["coordination_comparable"] = float(0.5 <= ratio <= 2.0)
+    # uniqueness (always measurable) + novelty vs the training set (coarse
+    # fingerprint proxy — see structure_fingerprint)
+    gen_fps = fingerprint_set(gen_frac, gen_types, gen_lattices, gen_idx_start, gen_num_atoms)
+    report["uniqueness_frac"] = float(len(set(gen_fps)) / max(len(gen_fps), 1))
+    if ref_fingerprints is not None:
+        ref_set = set(ref_fingerprints)
+        report["novelty_frac"] = float(
+            sum(fp not in ref_set for fp in gen_fps) / max(len(gen_fps), 1)
+        )
     return report
 
 
@@ -243,4 +321,8 @@ def dataset_reference_stats(
             np.diff(packed.offsets),
         ),
         "mean_num_atoms": float(np.diff(packed.offsets).mean()),
+        "fingerprints": fingerprint_set(
+            packed.frac_coords, type_indices, packed.lattices, packed.offsets,
+            np.diff(packed.offsets), max_crystals=5000,
+        ),
     }

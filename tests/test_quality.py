@@ -87,6 +87,53 @@ def test_generated_lengths_land_in_distribution(tmp_path):
     assert report["min_dist_violation_rate"] <= 0.5, report
 
 
+def test_fingerprint_invariances_and_uniqueness():
+    """Fingerprints are invariant to rotation, translation and atom
+    permutation; distinct structures get distinct prints; uniqueness/novelty
+    count as expected."""
+    rng = np.random.default_rng(0)
+    lattice = np.diag([4.0, 5.0, 6.0])
+    frac = rng.uniform(size=(4, 3))
+    types = np.array([0, 1, 1, 2])
+
+    fp = q.structure_fingerprint(frac, types, lattice)
+    # translation (same shift on every atom, mod 1)
+    fp_shift = q.structure_fingerprint((frac + 0.37) % 1.0, types, lattice)
+    assert fp == fp_shift
+    # permutation of atoms
+    perm = np.array([2, 0, 3, 1])
+    assert fp == q.structure_fingerprint(frac[perm], types[perm], lattice)
+    # rotation: rotate the lattice rows (cartesian rotation, frac unchanged)
+    th = 0.7
+    R = np.array([
+        [np.cos(th), -np.sin(th), 0.0],
+        [np.sin(th), np.cos(th), 0.0],
+        [0.0, 0.0, 1.0],
+    ])
+    assert fp == q.structure_fingerprint(frac, types, lattice @ R.T)
+    # a genuinely different structure differs
+    fp_other = q.structure_fingerprint(rng.uniform(size=(4, 3)), types, lattice * 1.5)
+    assert fp != fp_other
+
+    # uniqueness/novelty accounting: [A, A, B] generated; reference holds {A}
+    def flat(frs, lats, tys):
+        frac_x = np.concatenate(frs)
+        idx = np.array([0] + [len(f) for f in frs[:-1]]).cumsum()
+        return frac_x, np.concatenate(tys), np.stack(lats), idx, np.array([len(f) for f in frs])
+
+    frac_b = rng.uniform(size=(4, 3))
+    gen = flat([frac, frac, frac_b], [lattice, lattice, lattice * 1.5],
+               [types, types, types])
+    report = q.quality_report(
+        gen_frac=gen[0], gen_types=gen[1], gen_lattices=gen[2],
+        gen_idx_start=gen[3], gen_num_atoms=gen[4],
+        ref_lengths=np.full(3, 5.0), ref_angles=np.full(3, 90.0), num_types=3,
+        ref_fingerprints=[fp],
+    )
+    assert report["uniqueness_frac"] == pytest.approx(2 / 3)
+    assert report["novelty_frac"] == pytest.approx(1 / 3)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
 
