@@ -66,3 +66,10 @@ view-dataset:
 
 view-generated:
 	python -m arreau_tpu.exploration.view_crystals generated
+
+import-checkpoint:  # REF_CKPT=path/to/reference.ckpt
+	python -m arreau_tpu.cli.import_checkpoint --ckpt=$(REF_CKPT) --out_dir=checkpoints-imported
+
+export-sampler:
+	python -m arreau_tpu.cli.export_sampler --checkpoint_dir=checkpoints \
+		--batch_size=100 --num_atoms_per_sample=8 --out=out/sampler.stablehlo
