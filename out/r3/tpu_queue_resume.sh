@@ -50,4 +50,25 @@ for S in 50 100; do
     --out_dir=out/r3/q_ddim$S --quality_ref=synthetic:20000:0
 done
 
+# 8. serving export on TPU (embeds the Mosaic kernels) + timed exported call
+# vs the in-process sampler on the same chip
+timeout 2400 python -u -m arreau_tpu.cli.export_sampler \
+  --checkpoint_dir=out/r3/ckpt_mi002 --tag=best --use_ema=False \
+  --batch_size=100 --num_atoms_per_sample=8 --sample_steps=100 \
+  --out=out/r3/sampler_tpu.stablehlo
+timeout 1200 python -u - <<'PY'
+import time, json
+import numpy as np
+from jax import export
+exp = export.deserialize(bytearray(open("out/r3/sampler_tpu.stablehlo", "rb").read()))
+frac, types, lattice = exp.call(np.int32(0))  # compile
+np.asarray(frac)
+t0 = time.perf_counter(); n = 0
+for s in range(1, 4):
+    frac, types, lattice = exp.call(np.int32(s)); np.asarray(frac); n += frac.shape[0]
+dt = time.perf_counter() - t0
+print(json.dumps({"exported_serving_crystals_per_min": round(n / dt * 60, 1),
+                  "batch": int(frac.shape[0]), "sample_steps": 100}))
+PY
+
 echo QUEUE_DONE
