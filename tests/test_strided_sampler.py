@@ -351,3 +351,62 @@ def test_sampler_strided_full_steps_falls_back_to_dense():
     )
     assert_allclose(dense.frac_x, fallback.frac_x, rtol=0, atol=0)
     assert np.array_equal(np.asarray(dense.atom_types), np.asarray(fallback.atom_types))
+
+
+def test_sample_jit_cache_matches_unjitted_and_reuses_entry():
+    """The jit-cached public sample() must return exactly what the raw impl
+    returns (same key -> same draws), reuse one cache entry per static
+    signature, and retrace transparently when constant_atoms appears."""
+    from arreau_tpu.tasks.diffusion import CrystalBatch, DiffusionConfig, DiffusionModel
+
+    cfg = DiffusionConfig(
+        num_atomic_states=4,
+        num_timesteps=10,
+        hidden_dim=8,
+        basis_dim=8,
+        num_layers=1,
+        num_ori=4,
+        degree=2,
+    )
+    model = DiffusionModel(cfg)
+    B, A = 2, 3
+    init_batch = CrystalBatch(
+        frac_x=jnp.zeros((B, A, 3)),
+        atom_types=jnp.zeros((B, A), jnp.int32),
+        lattice=jnp.broadcast_to(4.0 * jnp.eye(3), (B, 3, 3)),
+        num_atoms=jnp.full((B,), A),
+        atom_mask=jnp.ones((B, A), bool),
+    )
+    params = model.init(jax.random.PRNGKey(0), init_batch)
+    key = jax.random.PRNGKey(7)
+
+    out_jit = model.sample(params, key, num_samples=B, num_atoms_per_sample=A)
+    out_raw = model._sample_impl(params, key, num_samples=B, num_atoms_per_sample=A)
+    np.testing.assert_allclose(
+        np.asarray(out_jit.frac_x), np.asarray(out_raw.frac_x), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_jit.atom_types), np.asarray(out_raw.atom_types)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_jit.lattice), np.asarray(out_raw.lattice), rtol=1e-5, atol=1e-6
+    )
+
+    # same static signature -> one cache entry, reused
+    assert len(model._sample_jit_cache) == 1
+    model.sample(params, jax.random.PRNGKey(8), num_samples=B, num_atoms_per_sample=A)
+    assert len(model._sample_jit_cache) == 1
+    # different static signature -> new entry
+    model.sample(
+        params, key, num_samples=B, num_atoms_per_sample=A, sample_steps=4
+    )
+    assert len(model._sample_jit_cache) == 2
+
+    # constant_atoms rides the SAME entry (pytree-structure retrace) and pins
+    # the returned types
+    const = jnp.ones((B, A), jnp.int32)
+    out_const = model.sample(
+        params, key, num_samples=B, num_atoms_per_sample=A, constant_atoms=const
+    )
+    assert len(model._sample_jit_cache) == 2
+    np.testing.assert_array_equal(np.asarray(out_const.atom_types), np.asarray(const))
