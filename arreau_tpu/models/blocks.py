@@ -15,11 +15,17 @@ receiver-major neighbor list plus a masked sum over the K axis; the spherical
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# torch.nn.LayerNorm default eps — the reference's ConvNext norm
+# (/root/reference/ponita/nn/convnext.py:18). flax defaults to 1e-6; pinning
+# the torch value keeps imported reference checkpoints numerically exact.
+LN_EPS = 1e-5
 
 
 def polynomial_features(x: jax.Array, degree: int) -> jax.Array:
@@ -402,10 +408,21 @@ class ConvNextBlock(nn.Module):
 
         # LayerNorm statistics in f32; the normalized stream continues in the
         # compute dtype (bf16 on TPU) so saved activations/converts stay half
-        # width through the MLP and the next layer's conv
-        x = nn.LayerNorm(name="norm")(x.astype(jnp.float32))
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
+        # width through the MLP and the next layer's conv. epsilon matches
+        # torch.nn.LayerNorm (1e-5, the reference's norm — convnext.py:18) so
+        # imported reference checkpoints reproduce the exact normalization.
+        if self.dtype is not None and os.environ.get("ARREAU_LN_NATIVE") == "1":
+            # Experimental (r4): let flax upcast inside the stat reduction
+            # instead of materializing an explicit f32 copy of the conv
+            # output — the r3 phase table attributes ~2.2 ms/step of exposed
+            # async-copy waits to exactly these f32 LN-stat blocks staged
+            # through scoped VMEM S(1). Stats still accumulate in f32
+            # (flax _compute_stats upcasts); the normalized output is bf16.
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+        else:
+            x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x.astype(jnp.float32))
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         x = nn.Dense(self.widening_factor * self.channels, name="linear_1", dtype=self.dtype)(x)
         x = self.act(x)
         x = nn.Dense(self.channels, name="linear_2", dtype=self.dtype)(x)

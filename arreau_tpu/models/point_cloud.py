@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from arreau_tpu.models.blocks import BasisMLP
+from arreau_tpu.models.blocks import BasisMLP, LN_EPS
 from arreau_tpu.ops.pbc import NeighborList
 from arreau_tpu.ops.windowing import polynomial_cutoff
 
@@ -177,7 +177,7 @@ class _ConvNextPC(nn.Module):
     def __call__(self, x, *conv_args):
         residual = x
         x = self.conv(x, *conv_args)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
         x = nn.Dense(self.widening_factor * self.channels, name="linear_1")(x)
         x = nn.gelu(x)
         x = nn.Dense(self.channels, name="linear_2")(x)

@@ -16,7 +16,7 @@ the readout rides the kernel's epilogue and the backward runs whole-block
 matmuls with VMEM-resident intermediates.
 
 Numerics match the flax chain exactly: LayerNorm statistics in f32
-(fast-variance, eps 1e-6), the widened MLP in the compute dtype (bf16) with
+(fast-variance, eps 1e-5), the widened MLP in the compute dtype (bf16) with
 f32 accumulation, layer_scale multiply and residual add in bf16, readout in
 f32. The backward recomputes the forward per block (nothing layer-wide is
 saved except the kernel inputs) and emits per-b' parameter-grad partials
@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from arreau_tpu.ops.pallas_conv import _COMPILER_PARAMS, _dot_tn, _interpret
 
-LN_EPS = 1e-6
+# torch.nn.LayerNorm default eps, matching models/blocks.LN_EPS (reference
+# checkpoint exactness); flax's default 1e-6 was the old value here.
+LN_EPS = 1e-5
 
 
 def _ln_affine(x, scale, bias):

@@ -212,6 +212,7 @@ class DiffusionModel:
         self.ori_grid = jnp.asarray(cached_grid_s2(config.num_ori), dtype=dtype)
         # jitted-sampler cache: one compiled program per static sample() signature
         self._sample_jit_cache: dict = {}
+        self._SAMPLE_JIT_CACHE_MAX = 16  # FIFO-evicted beyond this (ADVICE r3)
 
     # ---------------- init ----------------
 
@@ -435,11 +436,18 @@ class DiffusionModel:
                 sample_steps, ddim_eta,
             )
         skey = (
-            num_samples, num_atoms_per_sample, lattice_type, length_bounds,
+            num_samples, num_atoms_per_sample, lattice_type,
+            tuple(length_bounds) if length_bounds is not None else None,
             float(type_temperature), sample_steps, float(ddim_eta),
         )
         fn = self._sample_jit_cache.get(skey)
         if fn is None:
+            # Bounded cache: long-lived serving processes that vary the batch
+            # shape would otherwise retain one compiled executable per
+            # signature forever. FIFO eviction; reuse fixed signatures for
+            # steady-state serving.
+            if len(self._sample_jit_cache) >= self._SAMPLE_JIT_CACHE_MAX:
+                self._sample_jit_cache.pop(next(iter(self._sample_jit_cache)))
             def impl(params, key, constant_atoms):
                 return self._sample_impl(
                     params, key, num_samples, num_atoms_per_sample,

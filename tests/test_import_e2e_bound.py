@@ -1,0 +1,330 @@
+"""End-to-end numerical bound on the reference-checkpoint importer.
+
+VERDICT r3 item 3: the importer documents two approximations (tanh vs erf
+GELU, regenerated S^2 grid — interop/torch_import.py) and tests sub-module
+parity, but nothing bounded the FULL backbone forward of an imported
+checkpoint against torch execution of the reference layers. This test builds
+that oracle:
+
+  * the torch side runs the REFERENCE's own modules wherever they import
+    without PyG — PolynomialFeatures (ponita/nn/embedding.py:4-14),
+    PolynomialCutoff (ponita/utils/windowing.py), the sphere codecs
+    (ponita/utils/to_from_sphere.py), the fiber-bundle invariants
+    (ponita/geometry/invariants.py:10-36), the A39 edge scalars
+    (ponita/transforms/invariants.py:79-87 semantics) and the real ConvNext
+    block (ponita/nn/convnext.py:4-33);
+  * the PyG ``propagate2`` of FiberBundleConv (ponita/nn/conv.py:105-146) is
+    gather + ``index_add_`` over the edge list — written here in ~10 lines,
+    no torch_geometric needed;
+  * readout averaging / head splitting / sphere projections follow
+    ponita/models/ponita.py:88-163.
+
+Both stacks run in fp64 on the SAME graph (edges exported from
+``pbc_neighbor_list``, whose parity with the reference builder is proven in
+test_reference_oracle.py) and the SAME orientation grid, so the measured
+error is exactly the importer's residual approximation: the GELU variant.
+Asserted bounds:
+
+  * erf-GELU torch oracle vs tanh-GELU flax forward: rel error < 2e-3 on
+    every output head (the documented tanh-GELU approximation; measured
+    ~1e-4..1e-3 at these widths);
+  * tanh-GELU torch oracle vs flax: rel error < 1e-7 — i.e. apart from the
+    GELU variant the imported forward is exact to fp32 resolution (the flax
+    path deliberately pins the activation stream to f32 — the embedder cast
+    and LayerNorm statistics in models/ponita.py — because f32 is the
+    inference dtype; measured residual ~1e-8);
+  * grid-regeneration effect (the reference itself resamples its repulsion
+    grid per process, spherical_grid.py:85-147): measured on a second grid
+    seed and asserted only to stay within the discretization noise scale.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF_ROOT = "/root/reference"
+if not os.path.isdir(REF_ROOT):  # pragma: no cover
+    pytest.skip("reference checkout not available", allow_module_level=True)
+if REF_ROOT not in sys.path:
+    sys.path.insert(0, REF_ROOT)
+
+from ponita.geometry.invariants import invariant_attr_r3s2_fiber_bundle  # noqa: E402
+from ponita.nn.convnext import ConvNext as RefConvNext  # noqa: E402
+from ponita.nn.embedding import PolynomialFeatures as RefPolynomialFeatures  # noqa: E402
+from ponita.utils.to_from_sphere import (  # noqa: E402
+    scalar_to_sphere as ref_scalar_to_sphere,
+    sphere_to_scalar as ref_sphere_to_scalar,
+    sphere_to_vec as ref_sphere_to_vec,
+    vec_to_sphere as ref_vec_to_sphere,
+)
+from ponita.utils.windowing import PolynomialCutoff as RefPolynomialCutoff  # noqa: E402
+
+import test_torch_import as tti  # the synthetic reference-checkpoint builder  # noqa: E402
+
+from arreau_tpu.interop.torch_import import convert_state_dict  # noqa: E402
+from arreau_tpu.models.ponita import PonitaConfig, PonitaFiberBundle, FiberBundleInputs  # noqa: E402
+from arreau_tpu.ops.grids import cached_grid_s2, uniform_grid_s2  # noqa: E402
+from arreau_tpu.ops.lattice import lattice_from_params  # noqa: E402
+from arreau_tpu.ops.pbc import SUPERCELLS, pbc_neighbor_list  # noqa: E402
+
+H, BD, L, O, S = tti.H, tti.BD, tti.L, tti.O, tti.S
+SCALAR_IN = S + 64 + 1 + 3 + 3 + 3  # 79
+VEC_IN = 4
+
+
+class _OracleFiberConv(torch.nn.Module):
+    """Reference FiberBundleConv (conv.py:71-146), separable depthwise, with
+    propagate2 spelled out as gather + index_add over the edge list."""
+
+    def __init__(self):
+        super().__init__()
+        self.kernel = torch.nn.Linear(BD, H, bias=False)
+        self.fiber_kernel = torch.nn.Linear(BD, H, bias=False)
+        self.bias = torch.nn.Parameter(torch.zeros(H))
+        self.register_buffer("callibrated", torch.tensor(True))
+
+    def forward(self, x, edge_index, edge_attr, fiber_attr=None, **kwargs):
+        kernel = self.kernel(edge_attr)  # [E, O, C]
+        src, dst = edge_index[0], edge_index[1]
+        messages = kernel * x[src]  # message() (conv.py:131-133)
+        x_1 = torch.zeros_like(x).index_add_(0, dst, messages)  # aggregate add
+        fk = self.fiber_kernel(fiber_attr)  # [O, P, C]
+        x_2 = torch.einsum("boc,opc->bpc", x_1, fk) / fk.shape[-2]
+        return x_2 + self.bias, messages
+
+
+class _OracleBackbone(torch.nn.Module):
+    """Reference PonitaFiberBundle forward (ponita/models/ponita.py:29-163)
+    on a precomputed edge list; attribute names match the reference so the
+    checkpoint state_dict loads directly."""
+
+    def __init__(self, act):
+        super().__init__()
+        poly3 = tti.POLY3
+        self.basis_fn = torch.nn.Sequential(
+            RefPolynomialFeatures(3), torch.nn.Linear(poly3, H), act,
+            torch.nn.Linear(H, BD), act,
+        )
+        self.fiber_basis_fn = torch.nn.Sequential(
+            RefPolynomialFeatures(3), torch.nn.Linear(3, H), act,
+            torch.nn.Linear(H, BD), act,
+        )
+        self.windowing_fn = RefPolynomialCutoff(5.0)
+        self.x_embedder = torch.nn.Linear(tti.IN_DIM, H, False)
+        self.interaction_layers = torch.nn.ModuleList(
+            RefConvNext(H, _OracleFiberConv(), act=act, layer_scale=1e-6,
+                        widening_factor=4)
+            for _ in range(L)
+        )
+        self.read_out_layers = torch.nn.ModuleList(
+            torch.nn.Linear(H, tti.OUT) for _ in range(L)
+        )
+        self.edge_readout_layers = torch.nn.ModuleList(
+            torch.nn.Linear(H + 4, 0) for _ in range(L)
+        )
+
+    def forward(self, scalar, vec, edge_index, directions, dists, lattice,
+                edge_batch, ori_grid, batch_idx, num_graphs):
+        # lift (position_orientation_graph.py:84-90)
+        x = torch.cat(
+            [ref_scalar_to_sphere(scalar, ori_grid), ref_vec_to_sphere(vec, ori_grid)],
+            dim=-1,
+        )
+        # invariants + A39 edge scalars (transforms/invariants.py:70-87)
+        attr, fiber_attr = invariant_attr_r3s2_fiber_bundle(
+            None, ori_grid, None, directions, separable=True
+        )
+        cos = torch.nn.CosineSimilarity(dim=-1)
+        lat_edges = lattice[edge_batch]  # [E, 3, 3]
+        esf = torch.stack(
+            [dists] + [cos(directions, lat_edges[:, i, :]) for i in range(3)], dim=-1
+        )
+        attr = torch.cat([attr, ref_scalar_to_sphere(esf, ori_grid)], dim=-1)
+
+        # kernel bases + window (ponita.py:92-96)
+        kernel_basis = self.basis_fn(attr) * self.windowing_fn(dists)[:, None, None]
+        fiber_kernel_basis = self.fiber_basis_fn(fiber_attr)
+
+        x = self.x_embedder(x)
+        readouts = []
+        for layer, ro in zip(self.interaction_layers, self.read_out_layers):
+            x, _messages = layer(
+                x, edge_index, edge_attr=kernel_basis, fiber_attr=fiber_kernel_basis
+            )
+            readouts.append(ro(x))
+        readout = sum(readouts) / len(readouts)
+
+        # head split + sphere projections (ponita.py:110-163); global_vec = 0
+        r_scalar, r_vec, _r_gvec, r_gscalar = torch.split(readout, [S, 1, 0, 3], dim=-1)
+        out_scalar = ref_sphere_to_scalar(r_scalar)
+        out_vec = ref_sphere_to_vec(r_vec, ori_grid)
+        gs = ref_sphere_to_scalar(r_gscalar)
+        global_scalar = torch.zeros(num_graphs, 3, dtype=gs.dtype).index_add_(
+            0, batch_idx, gs
+        )
+        return out_scalar, out_vec, global_scalar
+
+
+def _build_case(seed=0, B=2, A=6):
+    """Crystals + graph + random input features, dense AND packed views."""
+    rng = np.random.default_rng(seed)
+    lengths = rng.uniform(5.0, 8.0, (B, 3))
+    angles = np.deg2rad(rng.uniform(75, 105, (B, 3)))
+    lattice = np.asarray(lattice_from_params(jnp.asarray(lengths), jnp.asarray(angles)))
+    frac = rng.uniform(0, 1, (B, A, 3))
+    cart = np.einsum("bai,bij->baj", frac, lattice)
+    mask = np.ones((B, A), bool)
+    nb = pbc_neighbor_list(
+        jnp.asarray(cart), jnp.asarray(lattice), jnp.asarray(mask),
+        radius=5.0, max_neighbors=8,
+    )
+    scalar = rng.normal(0, 1, (B, A, SCALAR_IN))
+    vec = rng.normal(0, 1, (B, A, VEC_IN, 3))
+
+    # packed edge list for the torch oracle
+    m = np.asarray(nb.mask)
+    src_idx, dst_idx, dirs, dists, ebatch = [], [], [], [], []
+    for b in range(B):
+        for a in range(A):
+            for k in range(m.shape[2]):
+                if not m[b, a, k]:
+                    continue
+                src_idx.append(b * A + int(np.asarray(nb.src)[b, a, k]))
+                dst_idx.append(b * A + a)
+                dirs.append(np.asarray(nb.direction)[b, a, k])
+                dists.append(np.asarray(nb.dist)[b, a, k])
+                ebatch.append(b)
+    edge_index = torch.as_tensor(np.stack([src_idx, dst_idx]), dtype=torch.long)
+    return dict(
+        lattice=lattice, nb=nb, scalar=scalar, vec=vec, mask=mask,
+        edge_index=edge_index, dirs=np.stack(dirs), dists=np.asarray(dists),
+        ebatch=np.asarray(ebatch), B=B, A=A,
+    )
+
+
+def _run_flax(case, params, ori_grid):
+    cfg = PonitaConfig(
+        hidden_dim=H, basis_dim=BD, degree=3, num_layers=L, widening_factor=4,
+        layer_scale=1e-6, multiple_readouts=True, radius=5.0, num_ori=O,
+        output_dim_scalar=S, output_dim_vec=1, output_dim_global_scalar=3,
+        output_dim_global_vec=0, output_dim_edge_scalar=0,
+        num_edge_scalar_features=4, expected_degree=8.0, remat=False,
+        compute_dtype=None, use_pallas=False,
+    )
+    model = PonitaFiberBundle(cfg)
+    p64 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), params["params"])
+    inputs = FiberBundleInputs(
+        scalar=jnp.asarray(case["scalar"]),
+        vec=jnp.asarray(case["vec"]),
+        neighbors=case["nb"],
+        atom_mask=jnp.asarray(case["mask"]),
+        lattice=jnp.asarray(case["lattice"]),
+        ori_grid=jnp.asarray(ori_grid, jnp.float64),
+    )
+    return model.apply({"params": p64}, inputs)
+
+
+def _run_oracle(case, sd_torch, ori_grid, act):
+    oracle = _OracleBackbone(act).double()
+    stripped = {
+        k[len("model."):]: v.double() for k, v in sd_torch.items()
+        if k.startswith("model.")
+    }
+    missing, unexpected = oracle.load_state_dict(stripped, strict=False)
+    assert not unexpected, unexpected
+    # windowing_fn buffers are constants (r_max/p), not checkpoint weights
+    assert all(
+        "callibrated" in k or "edge_readout" in k or "windowing_fn" in k
+        for k in missing
+    ), missing
+    B, A = case["B"], case["A"]
+    with torch.no_grad():
+        return oracle(
+            torch.as_tensor(case["scalar"].reshape(B * A, SCALAR_IN)),
+            torch.as_tensor(case["vec"].reshape(B * A, VEC_IN, 3)),
+            case["edge_index"],
+            torch.as_tensor(case["dirs"]),
+            torch.as_tensor(case["dists"]),
+            torch.as_tensor(case["lattice"]),
+            torch.as_tensor(case["ebatch"], dtype=torch.long),
+            torch.as_tensor(np.asarray(ori_grid, np.float64)),
+            torch.as_tensor(np.repeat(np.arange(B), A), dtype=torch.long),
+            B,
+        )
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+
+
+@pytest.fixture(scope="module")
+def imported():
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
+
+
+def test_full_backbone_forward_bound(imported):
+    sd_torch = tti._make_state_dict(seed=3)
+    sd = {k: v.numpy() for k, v in sd_torch.items()}
+    params, _, _ = convert_state_dict(sd, L)
+    case = _build_case()
+    ori_grid = cached_grid_s2(O)
+
+    out = _run_flax(case, params, ori_grid)
+    B, A = case["B"], case["A"]
+    mine_scalar = np.asarray(out.node_scalar).reshape(B * A, S)
+    mine_vec = np.asarray(out.node_vec).reshape(B * A, 1, 3)
+    mine_gs = np.asarray(out.global_scalar)
+
+    # (1) exactness modulo the GELU variant: tanh-GELU on the torch side too
+    tanh = torch.nn.GELU(approximate="tanh")
+    o_scalar, o_vec, o_gs = _run_oracle(case, sd_torch, ori_grid, tanh)
+    # f32-pinned activation stream bounds this at fp32 resolution (~1e-8)
+    assert _rel(mine_scalar, o_scalar.numpy()) < 1e-7
+    assert _rel(mine_vec, o_vec.numpy()) < 1e-7
+    assert _rel(mine_gs, o_gs.numpy()) < 1e-7
+
+    # (2) the real reference semantics: exact (erf) GELU — the importer's
+    # documented approximation, bounded end to end
+    erf = torch.nn.GELU()
+    r_scalar, r_vec, r_gs = _run_oracle(case, sd_torch, ori_grid, erf)
+    for mine, ref in ((mine_scalar, r_scalar), (mine_vec, r_vec), (mine_gs, r_gs)):
+        err = _rel(mine, ref.numpy())
+        assert err < 2e-3, f"GELU-variant end-to-end error {err} out of bound"
+
+
+def test_grid_regeneration_noise_scale(imported):
+    """The reference regenerates its repulsion-minimized grid per process
+    (spherical_grid.py:85-147) — its own checkpoints never pin a grid. Bound
+    the output change between two grid seeds: it must stay at discretization
+    scale (same order as the per-process noise the reference accepts), not
+    blow up."""
+    sd_torch = tti._make_state_dict(seed=3)
+    sd = {k: v.numpy() for k, v in sd_torch.items()}
+    params, _, _ = convert_state_dict(sd, L)
+    case = _build_case(seed=1)
+
+    grid_a = cached_grid_s2(O)
+    grid_b = np.asarray(uniform_grid_s2(O, key=jax.random.PRNGKey(123)))
+    out_a = _run_flax(case, params, grid_a)
+    out_b = _run_flax(case, params, grid_b)
+    for a, b in ((out_a.node_scalar, out_b.node_scalar),
+                 (out_a.global_scalar, out_b.global_scalar)):
+        # untrained random weights: discretization noise is O(10%) — assert
+        # the outputs stay the same order of magnitude and correlated
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        corr = float(a @ b / max(denom, 1e-12))
+        assert corr > 0.9, f"grid resample decorrelates outputs (corr={corr})"
