@@ -167,3 +167,44 @@ def test_coordination_histogram_rocksalt():
     )
     assert report["coordination_tv_dist"] == pytest.approx(0.0)
     assert report["gen_mean_coordination"] == pytest.approx(6.0)
+
+
+@pytest.mark.slow
+def test_strided_sampler_quality_tracks_full_chain(tmp_path):
+    """Regression gate for VERDICT r3 item 2: the strided (DDIM) sampler's
+    sample quality must track the full reverse chain on the same trained
+    model — the throughput headline rides on this trade-off. The measured
+    canonical-scale ladder (S in {25,50,100} vs T=1000 on the converged
+    checkpoint, BASELINE.md round 4) is the evidence artifact; this gate
+    catches regressions in the strided math at CI scale (T=50 vs S=10)."""
+    import json
+
+    from arreau_tpu.cli.generate import main as gen_main
+    from arreau_tpu.cli.train_diffusion import main as train_main
+
+    ck = str(tmp_path / "ck")
+    train_main([
+        "--dataset=synthetic", "--synthetic_size=400", "--epochs=40",
+        "--val_interval=20", "--hidden_dim=32", "--basis_dim=32", "--layers=2",
+        "--num_ori=4", "--num_timesteps=50", "--batch_size=32", "--lr=3e-3",
+        f"--checkpoint_dir={ck}", "--resume=False",
+    ])
+    reports = {}
+    for label, extra in (
+        ("full", []),
+        ("s10", ["--sample_steps=10"]),
+    ):
+        out = tmp_path / label
+        gen_main([
+            f"--checkpoint_dir={ck}", "--tag=best", "--num_crystals=16",
+            "--batch_size=16", "--num_atoms_per_sample=8", "--use_ema=False",
+            f"--out_dir={out}", "--quality_ref=synthetic:400:0", *extra,
+        ])
+        reports[label] = json.loads((out / "quality.json").read_text())
+
+    full, s10 = reports["full"], reports["s10"]
+    # the strided chain must stay on the same manifold as the full chain:
+    # no runaway lengths and a W1 within an additive band of the full chain
+    assert s10["gen_length_mean"] < 12.0, s10
+    assert s10["w1_lengths"] < full["w1_lengths"] + 2.0, (s10, full)
+    assert s10["min_dist_violation_rate"] <= full["min_dist_violation_rate"] + 0.25, (s10, full)
