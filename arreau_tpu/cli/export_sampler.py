@@ -28,8 +28,11 @@ def parse_args(argv=None):
     p.add_argument("--use_ema", type=parse_bool, default=True)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_atoms_per_sample", type=int, default=8)
-    p.add_argument("--sample_steps", type=int, default=None,
-                   help="strided (DDIM-family) reverse steps; omit for the full chain")
+    p.add_argument("--sample_steps", type=int, default=100,
+                   help="strided (DDIM-family) reverse steps (default 100 — the "
+                        "measured-quality serving point, BASELINE.md round-4 "
+                        "ladder: better W1/min-dist than the full chain at 6.4x "
+                        "its throughput); pass 0 for the full T-step chain")
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--type_temperature", type=float, default=1.0)
     p.add_argument("--out", type=str, required=True, help="output artifact path")
@@ -48,7 +51,7 @@ def main(argv=None):
         use_ema=args.use_ema,
         batch_size=args.batch_size,
         num_atoms_per_sample=args.num_atoms_per_sample,
-        sample_steps=args.sample_steps,
+        sample_steps=args.sample_steps or None,  # 0 -> full chain
         ddim_eta=args.ddim_eta,
         type_temperature=args.type_temperature,
     )

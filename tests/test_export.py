@@ -84,4 +84,14 @@ def test_export_cli(tmp_path):
     call, sidecar = load_exported(out)
     frac, types, lattice = call(np.int32(0))
     assert frac.shape == (2, 2, 3)
-    assert sidecar["sample_steps"] is None  # full chain
+    # default serving point is S=100 (BASELINE.md round-4 quality ladder)
+    assert sidecar["sample_steps"] == 100
+
+    out2 = str(tmp_path / "art_full.bin")
+    main([
+        "--checkpoint_dir", ckpt_dir, "--tag", "best", "--use_ema", "False",
+        "--batch_size", "2", "--num_atoms_per_sample", "2", "--out", out2,
+        "--sample_steps", "0",
+    ])
+    _, sidecar_full = load_exported(out2)
+    assert sidecar_full["sample_steps"] is None  # full chain
