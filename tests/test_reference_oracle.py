@@ -366,12 +366,24 @@ def _assert_edge_dicts_equal(mine, ref, allow_exact_tie_swaps=False):
         np.testing.assert_allclose(v_mine, v_ref, rtol=1e-8, atol=1e-9)
 
 
-def test_radius_graph_pbc_uncapped_golden_edges():
+@pytest.mark.parametrize(
+    "seed,len_lo,len_hi,ang_lo,ang_hi",
+    [
+        (7, 5.0, 8.0, 70.0, 110.0),   # typical cells
+        (70, 4.0, 10.0, 45.0, 135.0),  # heavily skewed cells
+    ],
+)
+def test_radius_graph_pbc_uncapped_golden_edges(seed, len_lo, len_hi, ang_lo, ang_hi):
     """No-cap path (reference early return, diffusion_helpers.py:469-490):
-    edge sets must be IDENTICAL on 20 randomized crystals."""
-    rng = np.random.default_rng(7)
+    edge sets must be IDENTICAL on 20 randomized crystals — including
+    heavily skewed cells where image geometry is least forgiving (both
+    implementations share the reference's 27-image assumption; parity holds
+    regardless of whether 27 images suffice physically)."""
+    rng = np.random.default_rng(seed)
     B, A, K = 20, 6, 96
-    cart, lattice, num_atoms, mask, packed = random_crystals(rng, B, A)
+    cart, lattice, num_atoms, mask, packed = random_crystals(
+        rng, B, A, len_lo=len_lo, len_hi=len_hi, ang_lo=ang_lo, ang_hi=ang_hi
+    )
     nb = pbc_neighbor_list(
         jnp.asarray(cart), jnp.asarray(lattice), jnp.asarray(mask),
         radius=5.0, max_neighbors=K,
