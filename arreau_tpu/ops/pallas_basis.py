@@ -255,6 +255,37 @@ fused_basis_mlp.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
+_GELU_C0 = 0.7978845608028654  # sqrt(2/pi)
+_GELU_C1 = 0.044715
+
+
+def _gelu_fwd_and_deriv(x):
+    """One-tanh gelu(x) AND gelu'(x) (tanh approximation == jax.nn.gelu).
+
+    ``jax.vjp(jax.nn.gelu, x)`` builds two traced passes whose Mosaic
+    lowering re-evaluates the tanh chain; measured on-chip the two vjp
+    closures cost 2.2 ms/step of VPU work serialized against the MXU
+    (out/r4/queue3.log v1_nogelu). Sharing a single tanh between value and
+    derivative cut the kernel 5.10 -> 4.23 ms (out/r4/exp_basis_bwd2.log).
+    """
+    u = _GELU_C0 * (x + _GELU_C1 * x * x * x)
+    t = jnp.tanh(u)
+    y = 0.5 * x * (1.0 + t)
+    dy = 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * _GELU_C0 * (
+        1.0 + 3.0 * _GELU_C1 * x * x
+    )
+    return y, dy
+
+
+def _gelu_deriv(x):
+    """gelu'(x) alone — for sites whose forward value is not needed."""
+    u = _GELU_C0 * (x + _GELU_C1 * x * x * x)
+    t = jnp.tanh(u)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * _GELU_C0 * (
+        1.0 + 3.0 * _GELU_C1 * x * x
+    )
+
+
 def _multi_bwd_kernel(n_g, sa_ref, sb_ref, sc_ref, attrT_ref, w1_ref, b1_ref,
                       w2_ref, b2_ref, *refs):
     g_refs = refs[:n_g]
@@ -276,24 +307,26 @@ def _multi_bwd_kernel(n_g, sa_ref, sb_ref, sc_ref, attrT_ref, w1_ref, b1_ref,
     # ~1.7 ms/step — measured, out/r3).
     poly = _poly_block_t(attrT_ref[0, 0], sa_ref, sb_ref, sc_ref)
     # recompute forward (pre-activations) exactly as the flax chain: dot in
-    # the compute dtype with f32 accumulation, bias add, then bf16 GELU
+    # the compute dtype with f32 accumulation, bias add, then bf16 GELU.
+    # GELU value+derivative share one tanh (see _gelu_fwd_and_deriv); the
+    # h2 site needs only the derivative (its forward value is dead here).
     h1_pre = (jnp.dot(poly, w1_ref[:], preferred_element_type=f32)
               + b1_ref[0].astype(f32)).astype(cdt)
-    h1, gelu1_vjp = jax.vjp(jax.nn.gelu, h1_pre)
+    h1, dg1 = _gelu_fwd_and_deriv(h1_pre)
     h2_pre = (jnp.dot(h1, w2_ref[:], preferred_element_type=f32)
               + b2_ref[0].astype(f32)).astype(cdt)
-    _, gelu2_vjp = jax.vjp(jax.nn.gelu, h2_pre)
+    dg2 = _gelu_deriv(h2_pre)
 
     g = g_refs[0][0, 0].astype(f32)
     for gr in g_refs[1:]:
         g = g + gr[0, 0].astype(f32)
-    (dpre2,) = gelu2_vjp(g.astype(cdt))
+    dpre2 = (g * dg2.astype(f32)).astype(cdt)
     dw2_ref[0] += _dot_tn(h1, dpre2)
     db2_ref[0, 0] += jnp.sum(dpre2.astype(f32), axis=0)
     dh1 = jax.lax.dot_general(
         dpre2, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
-    ).astype(cdt)  # dpre2 @ W2^T
-    (dpre1,) = gelu1_vjp(dh1)
+    )  # dpre2 @ W2^T, f32
+    dpre1 = (dh1 * dg1.astype(f32)).astype(cdt)
     dw1_ref[0] += _dot_tn(poly, dpre1)
     db1_ref[0, 0] += jnp.sum(dpre1.astype(f32), axis=0)
 

@@ -60,7 +60,9 @@ def test_kill_mid_epoch_then_resume(tmp_path):
         # wait until at least two epochs have trained AND a 'last' save is
         # committed, then SIGKILL mid-flight (no atexit, no finally blocks)
         ckpt = CheckpointManager(ckpt_dir)
-        deadline = time.time() + 600
+        # generous: first-epoch XLA compile alone takes minutes on a loaded
+        # 2-CPU box (the full --runslow gate runs tests concurrently with it)
+        deadline = time.time() + 1500
         killed = False
         while time.time() < deadline:
             if proc.poll() is not None:
@@ -96,7 +98,7 @@ def test_kill_mid_epoch_then_resume(tmp_path):
     # second life: same command, short epoch budget to finish quickly
     log2 = str(tmp_path / "run2.log")
     proc2, logf2 = _spawn(ckpt_dir, epochs=2, log_path=log2)
-    rc = proc2.wait(timeout=600)
+    rc = proc2.wait(timeout=900)
     logf2.close()
     out2 = open(log2).read()
     assert rc == 0, f"resume run failed:\n{out2[-2000:]}"
