@@ -73,3 +73,27 @@ import-checkpoint:  # REF_CKPT=path/to/reference.ckpt
 export-sampler:
 	python -m arreau_tpu.cli.export_sampler --checkpoint_dir=checkpoints \
 		--batch_size=100 --num_atoms_per_sample=8 --out=out/sampler.stablehlo
+
+# ---- round-4 evidence reproduction (committed converged checkpoints) ----
+
+quality-ladder:  # strided-vs-full quality ladder on the committed checkpoint
+	for S in 0 100 50 25; do \
+	  python -m arreau_tpu.cli.generate --checkpoint_dir=out/r4/ckpt_base \
+	    --tag=best --use_ema=False --num_crystals=500 --batch_size=100 \
+	    --num_atoms_per_sample=8 --clip_denoised=False \
+	    $${S:+$$( [ $$S -gt 0 ] && echo --sample_steps=$$S )} \
+	    --out_dir=out/ladder_s$$S --quality_ref=synthetic:20000:0; \
+	done; python out/r4/ladder_table.py
+
+angle-ab:  # canonical angle-diffusion A/B quality from the committed legs
+	python -m arreau_tpu.cli.generate --checkpoint_dir=out/r4/ckpt_base \
+	  --tag=best --use_ema=False --num_crystals=500 --batch_size=100 \
+	  --num_atoms_per_sample=8 --clip_denoised=False \
+	  --out_dir=out/ab_off --quality_ref=synthetic:20000:0
+	python -m arreau_tpu.cli.generate --checkpoint_dir=out/r4/ckpt_ang_on \
+	  --tag=best --use_ema=False --num_crystals=500 --batch_size=100 \
+	  --num_atoms_per_sample=8 --clip_denoised=False \
+	  --out_dir=out/ab_on --quality_ref=synthetic:20000:0
+
+oracle-tests:  # parity tier against the reference's own torch code
+	python -m pytest tests/test_reference_oracle.py tests/test_import_e2e_bound.py -q
