@@ -74,7 +74,7 @@ from arreau_tpu.interop.torch_import import convert_state_dict  # noqa: E402
 from arreau_tpu.models.ponita import PonitaConfig, PonitaFiberBundle, FiberBundleInputs  # noqa: E402
 from arreau_tpu.ops.grids import cached_grid_s2, uniform_grid_s2  # noqa: E402
 from arreau_tpu.ops.lattice import lattice_from_params  # noqa: E402
-from arreau_tpu.ops.pbc import SUPERCELLS, pbc_neighbor_list  # noqa: E402
+from arreau_tpu.ops.pbc import pbc_neighbor_list  # noqa: E402
 
 H, BD, L, O, S = tti.H, tti.BD, tti.L, tti.O, tti.S
 SCALAR_IN = S + 64 + 1 + 3 + 3 + 3  # 79
