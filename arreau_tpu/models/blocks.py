@@ -28,6 +28,37 @@ import jax.numpy as jnp
 LN_EPS = 1e-5
 
 
+@jax.custom_vjp
+def gelu_save_deriv(x):
+    """tanh-GELU whose VJP multiplies by a derivative SAVED at forward time.
+
+    Standard autodiff saves the pre-activation and re-evaluates the tanh
+    chain inside the backward dots' fused epilogue; this saves gelu'(x)
+    (same residual size as the pre-activation it replaces) so the backward
+    is a single elementwise multiply. Value and derivative share one tanh
+    (ops/pallas_basis._gelu_fwd_and_deriv — the formula matches jax.nn.gelu
+    approximate=True). Opt-in via ARREAU_GELU_SAVED=1 in ConvNextBlock.
+    """
+    from arreau_tpu.ops.pallas_basis import _gelu_fwd_and_deriv
+
+    y, _ = _gelu_fwd_and_deriv(x)
+    return y
+
+
+def _gsd_fwd(x):
+    from arreau_tpu.ops.pallas_basis import _gelu_fwd_and_deriv
+
+    y, d = _gelu_fwd_and_deriv(x)
+    return y, d.astype(x.dtype)
+
+
+def _gsd_bwd(d, g):
+    return (g * d,)
+
+
+gelu_save_deriv.defvjp(_gsd_fwd, _gsd_bwd)
+
+
 def polynomial_features(x: jax.Array, degree: int) -> jax.Array:
     """Tensor-power polynomial features: ``[x, x (x) x, ...]`` flattened.
 
@@ -424,7 +455,10 @@ class ConvNextBlock(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
         x = nn.Dense(self.widening_factor * self.channels, name="linear_1", dtype=self.dtype)(x)
-        x = self.act(x)
+        if os.environ.get("ARREAU_GELU_SAVED") == "1" and self.act is nn.gelu:
+            x = gelu_save_deriv(x)  # r4 experiment: see gelu_save_deriv
+        else:
+            x = self.act(x)
         x = nn.Dense(self.channels, name="linear_2", dtype=self.dtype)(x)
         if self.layer_scale_init is not None:
             gamma = self.param(
