@@ -120,9 +120,14 @@ def main():
     other closely if (and only if) the model is equivariant, then the
     per-component original-vs-rotated comparison (the coord term is the
     rotation-sensitive one)."""
+    import shutil
+
     from arreau_tpu.cli.train_diffusion import main as train_main
 
     ckpt_dir = "out/eval-equivariance-ckpt"
+    # fresh run every invocation: a stale scoreboard from a previous run
+    # would otherwise outrank the new scores and leave no 'best' tag
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
     train_main(
         [
             "--dataset", "eval-equivariance",
