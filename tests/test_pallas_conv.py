@@ -383,3 +383,49 @@ def test_fused_convnext_mlp_matches_flax_oracle():
     out_nr, r_nr = fused_convnext_mlp(*args[:9], None, None, f32)
     assert r_nr is None
     np.testing.assert_allclose(np.asarray(out_nr), np.asarray(out_o), rtol=2e-5, atol=2e-5)
+
+
+def test_env_gated_convnext_variants_match_default(monkeypatch):
+    """The documented-negative-result env gates (ARREAU_LN_NATIVE: flax
+    upcasts inside the LN stat reduction; ARREAU_GELU_SAVED: custom-VJP GELU
+    with a saved derivative) must stay numerically equivalent to the default
+    chain — forward and parameter gradients."""
+    import importlib
+
+    import arreau_tpu.models.blocks as blocks
+
+    def run(env):
+        for k in ("ARREAU_LN_NATIVE", "ARREAU_GELU_SAVED"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        importlib.reload(blocks)
+        m = blocks.ConvNextBlock(
+            channels=16, dtype=jnp.bfloat16, use_pallas=False,
+            return_messages=False, expected_degree=4.0,
+        )
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 4, 4, 16)), jnp.float32)
+        kb = jnp.asarray(rng.normal(size=(2, 4, 3, 4, 8)), jnp.float32)
+        fkb = jnp.asarray(rng.normal(size=(4, 4, 8)), jnp.float32)
+        src = jnp.zeros((2, 4, 3), jnp.int32)
+        em = jnp.ones((2, 4, 3), bool)
+        p = m.init(jax.random.PRNGKey(0), x, kb, fkb, src, em)
+
+        def loss(p_):
+            out, _, _ = m.apply(p_, x, kb, fkb, src, em)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        val, grads = jax.value_and_grad(loss)(p)
+        return float(val), grads
+
+    v0, g0 = run({})
+    for env in ({"ARREAU_LN_NATIVE": "1"}, {"ARREAU_GELU_SAVED": "1"}):
+        v1, g1 = run(env)
+        assert abs(v1 - v0) / max(abs(v0), 1e-9) < 2e-2, (env, v0, v1)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-2, atol=5e-2, err_msg=str(env),
+            )
+    run({})  # restore the default-path module state for later tests
