@@ -70,7 +70,35 @@ def parse_args(argv=None):
         "HDF5 path, or 'synthetic[:size[:seed]]' to regenerate the synthetic "
         "training distribution. Writes <out_dir>/quality.json.",
     )
+    p.add_argument(
+        "--num_atoms_dist", choices=["fixed", "ref"], default="fixed",
+        help="per-crystal atom counts: 'fixed' = every crystal gets "
+        "num_atoms_per_sample atoms (reference semantics — it fixes one "
+        "count per run, main_diffusion_generate.py:57); 'ref' = sample "
+        "counts from the --quality_ref training histogram (capped at "
+        "num_atoms_per_sample, which becomes the pad size) so quality "
+        "metrics compare at a matched size distribution",
+    )
     return p.parse_args(argv)
+
+
+def _ref_num_atoms(quality_ref: str):
+    """Per-crystal atom counts of the quality reference (for --num_atoms_dist
+    ref)."""
+    import numpy as np
+
+    if quality_ref.startswith("synthetic"):
+        from arreau_tpu.data.synthetic import synthetic_packed
+
+        parts = quality_ref.split(":")
+        size = int(parts[1]) if len(parts) > 1 else 2000
+        seed = int(parts[2]) if len(parts) > 2 else 0
+        ds = synthetic_packed(size, seed=seed)
+    else:
+        from arreau_tpu.data.crystal import CrystalDataset
+
+        ds = CrystalDataset([quality_ref])
+    return np.asarray(ds.packed.num_atoms)
 
 
 def quality_from_results(result, z_table, quality_ref: str) -> dict:
@@ -191,12 +219,34 @@ def main(argv=None):
         print("gif snapshots are not supported with --sample_steps; disabling gif")
         args.gif = False
 
-    def _sample(p, k):
+    # size-matched generation: per-crystal atom counts drawn from the
+    # training histogram (capped at the pad size) — default 'fixed' keeps
+    # reference semantics (one count per run)
+    draw_counts = None
+    if args.num_atoms_dist == "ref":
+        if not args.quality_ref:
+            raise SystemExit("--num_atoms_dist ref requires --quality_ref")
+        import numpy as _np
+
+        ref_counts = _np.minimum(
+            _ref_num_atoms(args.quality_ref), args.num_atoms_per_sample
+        )
+        _rng_counts = _np.random.default_rng(args.seed + 1)
+
+        def draw_counts():
+            import jax.numpy as jnp
+
+            return jnp.asarray(
+                _rng_counts.choice(ref_counts, size=args.batch_size), jnp.int32
+            )
+
+    def _sample(p, k, na=None):
         return model.sample(
             p,
             k,
             num_samples=args.batch_size,
             num_atoms_per_sample=args.num_atoms_per_sample,
+            num_atoms=na,
             constant_atoms=constant_atoms,
             length_bounds=length_bounds,
             type_temperature=args.type_temperature,
@@ -219,11 +269,24 @@ def main(argv=None):
             )
             sample_jit = jax.jit(_sample)
         else:
-            from arreau_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+            from arreau_tpu.parallel.mesh import (
+                batch_sharding,
+                kernel_partitioning,
+                make_mesh,
+                replicated_sharding,
+            )
 
             mesh = make_mesh()
             params = jax.device_put(params, replicated_sharding(mesh))
-            sample_jit = jax.jit(_sample, out_shardings=batch_sharding(mesh))
+            _sample_sharded = jax.jit(_sample, out_shardings=batch_sharding(mesh))
+
+            def sample_jit(p, k, na=None):
+                # bind the Pallas kernel-partitioning context so the conv
+                # kernels shard_map over the mesh instead of hitting GSPMD
+                # as opaque custom calls (parallel.mesh.kernel_partitioning)
+                with kernel_partitioning(mesh):
+                    return _sample_sharded(p, k, na)
+
             print(f"data-parallel sampling over {n_dev} devices")
     else:
         sample_jit = jax.jit(_sample)
@@ -235,6 +298,7 @@ def main(argv=None):
     import time as _time
     while remaining > 0:
         key, sub = jax.random.split(key)
+        na = draw_counts() if draw_counts is not None else None
         if args.gif and remaining <= args.batch_size:
             # last batch: segmented sampling with snapshots for the GIF
             batch_out, snapshots = model.sample(
@@ -242,13 +306,14 @@ def main(argv=None):
                 sub,
                 num_samples=args.batch_size,
                 num_atoms_per_sample=args.num_atoms_per_sample,
+                num_atoms=na,
                 constant_atoms=constant_atoms,
                 snapshot_every=args.snapshot_every,
                 length_bounds=length_bounds,
                 type_temperature=args.type_temperature,
             )
         else:
-            batch_out = sample_jit(params, sub)
+            batch_out = sample_jit(params, sub, na)
         take = min(args.batch_size, remaining)
         trimmed = jax.tree.map(lambda x: x[:take], batch_out)
         results.append(from_dense_batch(trimmed, z_table))

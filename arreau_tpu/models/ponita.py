@@ -227,7 +227,21 @@ class PonitaFiberBundle(nn.Module):
             # tensors before the big MLPs (pointwise over rows,
             # layout-agnostic) — the 100x larger basis tensor is produced
             # directly in kernel layout, in both directions of autodiff.
-            tile = pick_tile(B_, A_, target=128)
+            #
+            # Under an active kernel-partitioning mesh (parallel.mesh) the
+            # Pallas calls shard_map over the super-crystal axis, so tiles
+            # must not fold crystals across shard boundaries: pick the tile
+            # from the PER-SHARD batch (T | B/n  =>  n | B'):
+            from arreau_tpu.parallel.mesh import current_kernel_partitioning
+
+            mesh_k, axis_k = current_kernel_partitioning()
+            nshard = mesh_k.shape[axis_k] if mesh_k is not None else 1
+            if B_ % max(nshard, 1):
+                raise ValueError(
+                    f"batch {B_} not divisible by the kernel-partitioning "
+                    f"data axis ({nshard} shards)"
+                )
+            tile = pick_tile(B_ // nshard, A_, target=128)
             Bp = B_ // tile
             d_ = attr.shape[-1]
             if fused_basis:

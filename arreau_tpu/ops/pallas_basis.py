@@ -433,7 +433,7 @@ def _h1_fwd(attrT, w1, b1, sels):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def basis_mlp_multi(attrT, w1, b1, w2, b2, degree, n_out):
+def _basis_mlp_multi_p(attrT, w1, b1, w2, b2, degree, n_out):
     """Basis MLP ``gelu(gelu(poly(attr) @ W1 + b1) @ W2 + b2)`` returned as
     ``n_out`` aliased copies (one per consuming conv layer), with a fused
     Pallas backward that takes the ``n_out`` cotangents directly.
@@ -485,7 +485,7 @@ def _h1(attrT, w1, b1, degree, force_kernel=False):
 
 
 def _multi_vjp_fwd(attrT, w1, b1, w2, b2, degree, n_out):
-    return basis_mlp_multi(attrT, w1, b1, w2, b2, degree, n_out), (attrT, w1, b1, w2, b2)
+    return _basis_mlp_multi_p(attrT, w1, b1, w2, b2, degree, n_out), (attrT, w1, b1, w2, b2)
 
 
 def _multi_vjp_bwd(degree, n_out, res, gs):
@@ -495,4 +495,24 @@ def _multi_vjp_bwd(degree, n_out, res, gs):
     return jnp.zeros_like(attrT), dw1, db1, dw2, db2
 
 
-basis_mlp_multi.defvjp(_multi_vjp_fwd, _multi_vjp_bwd)
+_basis_mlp_multi_p.defvjp(_multi_vjp_fwd, _multi_vjp_bwd)
+
+
+def basis_mlp_multi(attrT, w1, b1, w2, b2, degree, n_out):
+    """Public entry for :func:`_basis_mlp_multi_p` (see its docstring). Under
+    an active ``kernel_partitioning`` mesh (parallel.mesh) the call
+    shard_maps over the leading super-crystal axis: each device runs the
+    Pallas kernels on its local batch shard, replicated weights are gathered
+    at the boundary and their cotangents psummed by the shard_map transpose
+    — the partitioning a real multi-chip slice needs, since XLA has no
+    SPMD rule for opaque custom calls."""
+    from arreau_tpu.ops.pallas_conv import _maybe_shard_map
+
+    def call(a, w1_, b1_, w2_, b2_):
+        # positional closure: jax.custom_vjp functions reject keyword args
+        return _basis_mlp_multi_p(a, w1_, b1_, w2_, b2_, degree, n_out)
+
+    f = _maybe_shard_map(
+        call, (True, False, False, False, False), (True,) * n_out
+    )
+    return f(attrT, w1, b1, w2, b2)

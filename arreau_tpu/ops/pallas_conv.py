@@ -238,22 +238,7 @@ def _bwd(basis_om, w, x_om, sel, fiber_kernel, g):
 
 
 @jax.custom_vjp
-def fused_fiber_conv(basis_om, w, x_om, sel, fiber_kernel):
-    """Fused spatial + fiber convolution over super-crystal tiles.
-
-    Args:
-      basis_om: [B', O, E, D] windowed kernel basis, k-major rows
-        (E = K*TA, row e = k*TA + ta).
-      w: [D, C] spatial kernel weight.
-      x_om: [B', O, TA, C] node features, orientation-major.
-      sel: [B', E, TA] masked block-diagonal one-hot gather
-        (:func:`make_gather_matrix`).
-      fiber_kernel: [O, P, C] spherical mixing kernel (pre-scaled by 1/O).
-
-    Returns float32 [B', P, TA, C]:
-      y[b,p,t,c] = sum_o Kf[o,p,c] * sum_k (basis[b,o,kTA+t] @ w)_c
-                                          * (sel[b] @ x[b,o])[kTA+t, c]
-    """
+def _fused_fiber_conv_p(basis_om, w, x_om, sel, fiber_kernel):
     return _fwd(basis_om, w, x_om, sel, fiber_kernel)
 
 
@@ -267,7 +252,47 @@ def _vjp_bwd(res, g):
     return dbasis, dw, dx, None, dfk
 
 
-fused_fiber_conv.defvjp(_vjp_fwd, _vjp_bwd)
+_fused_fiber_conv_p.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _maybe_shard_map(fn, arg_batched, out_batched):
+    """Wrap a kernel-calling fn in shard_map over the ambient data axis (see
+    parallel.mesh.kernel_partitioning); identity when no mesh is bound."""
+    from arreau_tpu.parallel.mesh import (
+        current_kernel_partitioning,
+        shard_map_kernel,
+    )
+
+    mesh, axis = current_kernel_partitioning()
+    if mesh is None:
+        return fn
+    return shard_map_kernel(fn, mesh, axis, arg_batched, out_batched)
+
+
+def fused_fiber_conv(basis_om, w, x_om, sel, fiber_kernel):
+    """Fused spatial + fiber convolution over super-crystal tiles.
+
+    Args:
+      basis_om: [B', O, E, D] windowed kernel basis, k-major rows
+        (E = K*TA, row e = k*TA + ta).
+      w: [D, C] spatial kernel weight.
+      x_om: [B', O, TA, C] node features, orientation-major.
+      sel: [B', E, TA] masked block-diagonal one-hot gather
+        (:func:`make_gather_matrix`).
+      fiber_kernel: [O, P, C] spherical mixing kernel (pre-scaled by 1/O).
+
+    Under an active ``kernel_partitioning`` mesh the call shard_maps over the
+    super-crystal axis (each device runs the kernel on its local shard; the
+    replicated w / fiber_kernel cotangents are psummed by the transpose).
+
+    Returns float32 [B', P, TA, C]:
+      y[b,p,t,c] = sum_o Kf[o,p,c] * sum_k (basis[b,o,kTA+t] @ w)_c
+                                          * (sel[b] @ x[b,o])[kTA+t, c]
+    """
+    f = _maybe_shard_map(
+        _fused_fiber_conv_p, (True, False, True, True, False), True
+    )
+    return f(basis_om, w, x_om, sel, fiber_kernel)
 
 
 def _fwd_spatial_kernel(K, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
@@ -465,10 +490,16 @@ def fused_spatial_conv(
     einsum) casts to bf16 regardless, so the values are bit-identical while
     the separate convert pass and half the output HBM traffic disappear —
     and the backward kernel then receives its cotangent in bf16 too (upcast
-    per-tile in VMEM). Returns ``out_dtype`` [B', O, TA, C]."""
-    return _fused_spatial_conv_p(
-        window_grad, jnp.dtype(out_dtype), basis_om, w, x_om, sel, win
+    per-tile in VMEM). Returns ``out_dtype`` [B', O, TA, C].
+
+    Under an active ``kernel_partitioning`` mesh the call shard_maps over the
+    super-crystal axis — the code path a multi-chip slice runs."""
+    f = _maybe_shard_map(
+        partial(_fused_spatial_conv_p, window_grad, jnp.dtype(out_dtype)),
+        (True, False, True, True, True),
+        True,
     )
+    return f(basis_om, w, x_om, sel, win)
 
 
 def reference_fiber_conv(basis, w, x, src, mask, fiber_kernel):

@@ -15,6 +15,8 @@ exceed one chip's HBM without code changes.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -69,6 +71,78 @@ def make_mesh(
             )
         return Mesh(devices.reshape(-1, model_size), (data_axis, model_axis))
     return Mesh(devices, (data_axis,))
+
+
+# --- Pallas kernels under the mesh -----------------------------------------
+#
+# GSPMD partitions regular XLA ops automatically, but a Pallas kernel is an
+# opaque custom call — XLA has no partitioning rule for it, so inside a
+# sharded jit the kernel would be either rejected or run replicated on
+# gathered operands (exactly the failure a real multi-chip slice hits first;
+# the reference analogue is DDP running its CUDA kernels per-rank,
+# /root/reference/main_diffusion.py:142-161). The fix is manual sharding:
+# each Pallas call site wraps itself in ``jax.shard_map`` over the data axis
+# (the kernels' super-crystal grid axis is embarrassingly parallel), so every
+# device runs the kernel on its local batch shard — the same thing DDP does.
+#
+# The mesh reaches the call sites through this trace-time context. It is NOT
+# ambient process state: ``make_train_step``/``make_eval_step`` (and the DP
+# sampler) bind it to the jitted callable they return, entering the context
+# around every invocation — so a given compiled program always traces and
+# re-traces under the same partitioning, and callables built without a mesh
+# are never affected (cf. ADVICE r4 on trace-time environment reads: here
+# the state is bound to the callable, not read from os.environ).
+
+_KERNEL_PARTITIONING: list = []
+
+
+@contextlib.contextmanager
+def kernel_partitioning(mesh: Mesh, data_axis: str = "data"):
+    """Trace-time context: Pallas kernel call sites shard_map themselves over
+    ``mesh``'s ``data_axis`` while active. Bind it around calls to a jitted
+    function compiled for ``mesh`` (see make_train_step / cli.generate)."""
+    _KERNEL_PARTITIONING.append((mesh, data_axis))
+    try:
+        yield
+    finally:
+        _KERNEL_PARTITIONING.pop()
+
+
+def current_kernel_partitioning():
+    """(mesh, data_axis) when a >1-way kernel partitioning context is active,
+    else (None, None)."""
+    if _KERNEL_PARTITIONING:
+        mesh, axis = _KERNEL_PARTITIONING[-1]
+        if axis in mesh.axis_names and mesh.shape[axis] > 1:
+            return mesh, axis
+    return None, None
+
+
+def kernel_partitioning_signature():
+    """Hashable token identifying the active kernel partitioning — include it
+    in any host-side jit-cache key whose traced program contains Pallas
+    kernels (e.g. DiffusionModel's sampler cache)."""
+    mesh, axis = current_kernel_partitioning()
+    if mesh is None:
+        return None
+    return (axis, mesh.shape[axis], tuple(d.id for d in mesh.devices.flat))
+
+
+def shard_map_kernel(fn, mesh: Mesh, data_axis: str, arg_batched: tuple, out_batched):
+    """Wrap a Pallas-kernel-calling ``fn`` in shard_map over ``data_axis``.
+
+    ``arg_batched``/``out_batched``: bools (pytrees for out) — True = leading
+    axis is the super-crystal axis, sharded over data; False = replicated.
+    All other mesh axes are manual-mapped as replicated, so the kernel body
+    never runs under GSPMD auto-partitioning (TP-split operands are gathered
+    at the shard_map boundary; their cotangents are psummed by the
+    transpose rule)."""
+    spec_b, spec_r = P(data_axis), P()
+    in_specs = tuple(spec_b if b else spec_r for b in arg_batched)
+    out_specs = jax.tree.map(lambda b: spec_b if b else spec_r, out_batched)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
 
 
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:

@@ -131,6 +131,10 @@ class DiffusionConfig:
     mask_prob: float = 0.02
     remat: bool = False
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for TPU speed
+    # Pallas conv kernels: None = auto (on when running on TPU), True/False =
+    # force. Forcing True off-TPU runs the kernels in interpret mode — used
+    # by the multi-device CPU tests to exercise the shard_map'd product path.
+    use_pallas: Optional[bool] = None
     fuse_fiber: bool = False  # fold fiber mixing into the Pallas kernel
     # basis-MLP Dense biases (see PonitaConfig.basis_bias): True, "in", False.
     # True matches the reference layer shapes and pre-existing checkpoints.
@@ -178,6 +182,7 @@ class DiffusionConfig:
             expected_degree=float(self.max_neighbors),
             remat=self.remat,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
             fuse_fiber=self.fuse_fiber,
             basis_bias=self.basis_bias,
             stacked_readout=self.stacked_readout,
@@ -417,8 +422,16 @@ class DiffusionModel:
         type_temperature: float = 1.0,
         sample_steps: Optional[int] = None,
         ddim_eta: float = 0.0,
+        num_atoms: Optional[jax.Array] = None,
     ) -> CrystalBatch:
         """Jit-cached wrapper around :meth:`_sample_impl`.
+
+        ``num_atoms``: optional ``[num_samples]`` per-crystal atom counts
+        (<= ``num_atoms_per_sample``, which then acts as the static pad
+        size). Beyond-parity knob for size-matched generation — the
+        reference fixes a single atom count per run
+        (main_diffusion_generate.py:57). Padded slots diffuse inertly and
+        are dropped by the masked decode.
 
         The whole sampler — prior draws, the reverse ``fori_loop``, the
         strided D3PM transition products, and the final lattice decode —
@@ -433,12 +446,18 @@ class DiffusionModel:
             return self._sample_impl(
                 params, key, num_samples, num_atoms_per_sample, constant_atoms,
                 lattice_type, snapshot_every, length_bounds, type_temperature,
-                sample_steps, ddim_eta,
+                sample_steps, ddim_eta, num_atoms,
             )
+        from arreau_tpu.parallel.mesh import kernel_partitioning_signature
+
         skey = (
             num_samples, num_atoms_per_sample, lattice_type,
             tuple(length_bounds) if length_bounds is not None else None,
             float(type_temperature), sample_steps, float(ddim_eta),
+            # Pallas calls traced under an active kernel-partitioning mesh
+            # embed shard_maps — a compiled program is only reusable under
+            # the same partitioning
+            kernel_partitioning_signature(),
         )
         fn = self._sample_jit_cache.get(skey)
         if fn is None:
@@ -448,18 +467,18 @@ class DiffusionModel:
             # steady-state serving.
             if len(self._sample_jit_cache) >= self._SAMPLE_JIT_CACHE_MAX:
                 self._sample_jit_cache.pop(next(iter(self._sample_jit_cache)))
-            def impl(params, key, constant_atoms):
+            def impl(params, key, constant_atoms, num_atoms):
                 return self._sample_impl(
                     params, key, num_samples, num_atoms_per_sample,
                     constant_atoms, lattice_type, None, length_bounds,
-                    type_temperature, sample_steps, ddim_eta,
+                    type_temperature, sample_steps, ddim_eta, num_atoms,
                 )
 
-            # constant_atoms None-ness is pytree structure, so one cache
-            # entry serves both modes (jax.jit retraces on structure change)
+            # constant_atoms/num_atoms None-ness is pytree structure, so one
+            # cache entry serves all modes (jax.jit retraces on structure)
             fn = jax.jit(impl)
             self._sample_jit_cache[skey] = fn
-        return fn(params, key, constant_atoms)
+        return fn(params, key, constant_atoms, num_atoms)
 
     def _sample_impl(
         self,
@@ -474,6 +493,7 @@ class DiffusionModel:
         type_temperature: float = 1.0,
         sample_steps: Optional[int] = None,
         ddim_eta: float = 0.0,
+        num_atoms: Optional[jax.Array] = None,
     ) -> CrystalBatch:
         """Full reverse diffusion as one jit-compiled ``lax.fori_loop``
         (reference ``DiffusionLoss.sample``, diffusion_loss.py:276-377).
@@ -533,8 +553,12 @@ class DiffusionModel:
             if constant_atoms is not None
             else jnp.full((B, A), cfg.num_atomic_states - 1)
         )
-        num_atoms = jnp.full((B,), A)
-        atom_mask = jnp.ones((B, A), bool)
+        if num_atoms is None:
+            num_atoms = jnp.full((B,), A)
+            atom_mask = jnp.ones((B, A), bool)
+        else:
+            num_atoms = jnp.asarray(num_atoms, jnp.int32)
+            atom_mask = jnp.arange(A)[None, :] < num_atoms[:, None]
 
         def predict(frac, types, lengths, ang_enc, t):
             """One model forward + x0 post-processing, shared by the dense and

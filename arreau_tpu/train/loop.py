@@ -16,8 +16,27 @@ from typing import Callable
 import jax
 import optax
 
-from arreau_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from arreau_tpu.parallel.mesh import (
+    batch_sharding,
+    kernel_partitioning,
+    replicated_sharding,
+)
 from arreau_tpu.train.state import TrainState, apply_gradients
+
+
+def _bind_kernel_partitioning(jitted, mesh):
+    """Bind the Pallas kernel-partitioning context to a jitted callable built
+    for ``mesh``: entered around every invocation, so tracing (first call)
+    and any retrace happen under the same partitioning (see
+    parallel.mesh.kernel_partitioning)."""
+    if mesh is None:
+        return jitted
+
+    def call(*args, **kwargs):
+        with kernel_partitioning(mesh):
+            return jitted(*args, **kwargs)
+
+    return call
 
 
 def make_train_step(
@@ -54,7 +73,7 @@ def make_train_step(
         data = batch_sharding(mesh)
         kwargs["in_shardings"] = (st, rep, data)
         kwargs["out_shardings"] = (st, rep)
-    return jax.jit(step, **kwargs)
+    return _bind_kernel_partitioning(jax.jit(step, **kwargs), mesh)
 
 
 def make_eval_step(
@@ -72,4 +91,4 @@ def make_eval_step(
         data = batch_sharding(mesh)
         kwargs["in_shardings"] = (st, rep, data)
         kwargs["out_shardings"] = rep
-    return jax.jit(step, **kwargs)
+    return _bind_kernel_partitioning(jax.jit(step, **kwargs), mesh)

