@@ -4,7 +4,17 @@ Every other parity test in this suite checks against oracles we re-derived
 (brute-force PBC search, hand-written schedule formulas). This tier closes the
 "misread the reference" hole: ``torch`` (CPU) is in the image and the
 reference's entire math core is pure torch with no PyG/Lightning dependency,
-so we import it from /root/reference and assert parity directly:
+so we import it from /root/reference and assert parity directly.
+
+SECURITY NOTE (ADVICE r4): the reference checkout is untrusted public
+content, and importing its modules EXECUTES its code at test-collection
+time. Accepted deliberately for this parity oracle, with the blast radius
+kept minimal: imports are limited to the pure-math modules enumerated below
+(diffusion_helpers / lattice_helpers / d3pm / ponita geometry+utils — no
+CLI, no IO, no network paths exist in them), the checkout is read-only, and
+the same policy applies to the other oracle tiers
+(test_import_e2e_bound.py, test_reference_grad_parity.py,
+test_chain_oracle.py). Vet any new reference import before adding it here:
 
   * ``radius_graph_pbc`` golden edge sets (diffusion_helpers.py:328-564),
     uncapped + capped + a deliberate-tie crystal for the max_neighbors
