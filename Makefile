@@ -83,7 +83,9 @@ quality-ladder:  # strided-vs-full quality ladder on the committed checkpoint
 	    --num_atoms_per_sample=8 --clip_denoised=False \
 	    $${S:+$$( [ $$S -gt 0 ] && echo --sample_steps=$$S )} \
 	    --out_dir=out/ladder_s$$S --quality_ref=synthetic:20000:0; \
-	done; python out/r4/ladder_table.py
+	done; python out/r4/ladder_table.py "T=1000 (full chain)=out/ladder_s0" \
+	  "S=100=out/ladder_s100" "S=50=out/ladder_s50" "S=25=out/ladder_s25" \
+	  --out out/ladder_summary.json
 
 angle-ab:  # canonical angle-diffusion A/B quality from the committed legs
 	python -m arreau_tpu.cli.generate --checkpoint_dir=out/r4/ckpt_base \
@@ -96,4 +98,47 @@ angle-ab:  # canonical angle-diffusion A/B quality from the committed legs
 	  --out_dir=out/ab_on --quality_ref=synthetic:20000:0
 
 oracle-tests:  # parity tier against the reference's own torch code
-	python -m pytest tests/test_reference_oracle.py tests/test_import_e2e_bound.py -q
+	python -m pytest tests/test_reference_oracle.py tests/test_import_e2e_bound.py \
+	  tests/test_reference_grad_parity.py tests/test_chain_oracle.py -q
+
+# ---- one-command closure runbooks for the env-blocked partials ----------
+# Each validates its inputs, runs the pinned recipe, and prints the
+# comparison row against the reference's published number. When the data /
+# packages land in the image, the corresponding partial (VERDICT C25 / C29 /
+# C30 / real-Alexandria convergence) closes with no new code.
+
+reproduce-alexandria:  # DATA=dir of alexandria_ps_*.json.bz2 shards
+	@test -n "$(DATA)" || { echo "usage: make reproduce-alexandria DATA=/path/to/alexandria (expects alexandria_ps_*.json.bz2)"; exit 2; }
+	@ls $(DATA)/*.json.bz2 >/dev/null 2>&1 || { echo "no *.json.bz2 shards in $(DATA)"; exit 2; }
+	python -m arreau_tpu.data.prep --in_dir=$(DATA) --out_dir=out/alexandria_hdf5
+	python -m arreau_tpu.cli.train_diffusion --dataset=alexandria \
+	  --data_dir=out/alexandria_hdf5 --epochs=64 --num_timesteps=1000 --radius=5 \
+	  --max_neighbors=8 --batch_size=270 --lr=0.0003 --hidden_dim=200 \
+	  --compute_dtype=bfloat16 --checkpoint_dir=out/alexandria_ckpt --log=False
+	@echo "---- comparison row ----"
+	@echo "reference: val score loss ~0.03 in ~30 min on 1x A10 (reference README.md:20)"
+	@echo "this run:  see 'valid loss (coord ...)' lines above / out/alexandria_ckpt/metrics.jsonl"
+
+reproduce-qm9:  # DATA=dir with the gdb9 xyz files
+	@test -n "$(DATA)" || { echo "usage: make reproduce-qm9 DATA=/path/to/gdb9_xyz"; exit 2; }
+	@ls $(DATA) >/dev/null 2>&1 || { echo "$(DATA) not readable"; exit 2; }
+	python -m arreau_tpu.cli.train_qm9 --root=$(DATA) --epochs=1000
+	@echo "---- comparison row ----"
+	@echo "reference repo publishes no QM9 number; compare the 'test MAE' line above"
+	@echo "(z-scored target alpha, same DimeNet 110k/10k split seed 42) against the"
+	@echo "upstream PONITA paper's QM9 table (the model family the reference vendors)."
+
+reproduce-md17:  # DATA=path to an rMD17 .npz (e.g. rmd17_aspirin.npz)
+	@test -n "$(DATA)" || { echo "usage: make reproduce-md17 DATA=/path/to/rmd17_<mol>.npz"; exit 2; }
+	@test -f "$(DATA)" || { echo "$(DATA) not found"; exit 2; }
+	python -m arreau_tpu.cli.train_md17 --npz=$(DATA) --epochs=1000
+	@echo "---- comparison row ----"
+	@echo "reference repo publishes no MD17 number; compare the 'test E-MAE / F-MAE'"
+	@echo "lines above (Kcal->meV transform, loss E/500 + F, 5 random-rotation test"
+	@echo "repeats — main_md17.py semantics) against the upstream PONITA paper's rMD17 table."
+
+relax-mace:  # IN=generated crystals h5 (default out/crystals.h5)
+	@python -c "import mace, ase" 2>/dev/null || { echo "mace/ase not installed in this image — the wired MACE-MP relaxation path (arreau_tpu/inference/relax.py:relax_with_mace) activates when they are ('pip install mace-torch ase' where allowed)"; exit 2; }
+	python -m arreau_tpu.cli.process_results --in_path=$(or $(IN),out/crystals.h5) \
+	  --use_mace=True --visualize=True
+	@echo "reference analog: diffusion/inference/relax.py:21-75 (MACE + ASE BFGS, lattice fixed)"

@@ -55,10 +55,16 @@ def main(argv=None):
         ddim_eta=args.ddim_eta,
         type_temperature=args.type_temperature,
     )
+    chain = (
+        f"strided S={args.sample_steps} (DDIM eta={args.ddim_eta})"
+        if args.sample_steps
+        else "full ancestral chain"
+    )
     print(
         f"exported {args.checkpoint_dir}/{args.tag} -> {args.out} "
         f"({sidecar['bytes'] / 1e6:.2f} MB, platforms {sidecar['platforms']}, "
-        f"{sidecar['batch_size']}x{sidecar['num_atoms_per_sample']} crystals/call)"
+        f"{sidecar['batch_size']}x{sidecar['num_atoms_per_sample']} crystals/call, "
+        f"serving point: {chain})"
     )
 
 

@@ -27,6 +27,14 @@ import jax.numpy as jnp
 # the torch value keeps imported reference checkpoints numerically exact.
 LN_EPS = 1e-5
 
+# Documented negative-result experiment gates (BASELINE.md r4), frozen at
+# import time: reading os.environ inside __call__ is trace-time state — a
+# toggle after a program is jit-cached silently has no effect and concurrent
+# processes can diverge (ADVICE r4). Import-time constants make the setting
+# process-wide and visible.
+LN_NATIVE = os.environ.get("ARREAU_LN_NATIVE") == "1"
+GELU_SAVED = os.environ.get("ARREAU_GELU_SAVED") == "1"
+
 
 @jax.custom_vjp
 def gelu_save_deriv(x):
@@ -442,7 +450,7 @@ class ConvNextBlock(nn.Module):
         # width through the MLP and the next layer's conv. epsilon matches
         # torch.nn.LayerNorm (1e-5, the reference's norm — convnext.py:18) so
         # imported reference checkpoints reproduce the exact normalization.
-        if self.dtype is not None and os.environ.get("ARREAU_LN_NATIVE") == "1":
+        if self.dtype is not None and LN_NATIVE:
             # Experimental (r4): let flax upcast inside the stat reduction
             # instead of materializing an explicit f32 copy of the conv
             # output — the r3 phase table attributes ~2.2 ms/step of exposed
@@ -455,7 +463,7 @@ class ConvNextBlock(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
         x = nn.Dense(self.widening_factor * self.channels, name="linear_1", dtype=self.dtype)(x)
-        if os.environ.get("ARREAU_GELU_SAVED") == "1" and self.act is nn.gelu:
+        if GELU_SAVED and self.act is nn.gelu:
             x = gelu_save_deriv(x)  # r4 experiment: see gelu_save_deriv
         else:
             x = self.act(x)
