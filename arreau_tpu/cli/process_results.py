@@ -26,6 +26,11 @@ def parse_args(argv=None):
     p.add_argument("--sigma", type=float, default=1.5)
     p.add_argument("--visualize", type=parse_bool, default=False)
     p.add_argument("--use_mace", type=parse_bool, default=False)
+    p.add_argument("--mace_model", type=str, default=None,
+                   help="local MACE .model path (None = downloadable MACE-MP "
+                        "foundation model); only with --use_mace")
+    p.add_argument("--fmax", type=float, default=0.05,
+                   help="BFGS force convergence (eV/A); only with --use_mace")
     return p.parse_args(argv)
 
 
@@ -54,7 +59,19 @@ def main(argv=None):
         mask[i, : len(f)] = True
 
     if args.use_mace:
-        relax_with_mace()  # raises with instructions unless mace/ase present
+        # reference-parity MACE-MP + ASE BFGS path (import-gated: raises
+        # with install instructions when mace/ase are absent)
+        out, energies = relax_with_mace(
+            result, model_path=args.mace_model, fmax=args.fmax,
+            max_steps=args.steps,
+        )
+        print(
+            f"MACE-relaxed {B} crystals: mean final energy {energies.mean():.4f} eV"
+        )
+        out_path = args.out_path or args.in_path.replace(".h5", "_relaxed.h5")
+        save_sample_results(out_path, out)
+        print(f"saved {out_path}")
+        return out
 
     relaxed = relax_soft_sphere(
         jnp.asarray(frac, jnp.float32),

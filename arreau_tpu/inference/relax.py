@@ -74,19 +74,67 @@ def relax_soft_sphere(
     return RelaxResult(frac_x=frac, energy=hist[:, -1], energy_history=hist)
 
 
-def relax_with_mace(*args, **kwargs):
-    """Reference-parity MACE-MP + ASE BFGS relaxation (requires `mace` and
-    `ase`, not bundled in this image)."""
+def relax_with_mace(
+    result,
+    model_path: str | None = None,
+    fmax: float = 0.05,
+    max_steps: int = 100,
+    device: str = "cpu",
+):
+    """Reference-parity MACE + ASE BFGS relaxation of a ``SampleResult``
+    (/root/reference/diffusion/inference/relax.py:21-75: per-crystal ASE
+    ``Atoms`` with scaled positions + PBC, MACE calculator, BFGS loop,
+    relaxed fractional coordinates written back; lattice held fixed like the
+    reference).
+
+    Fully wired — it runs as soon as the `mace-torch` and `ase` packages are
+    installed (they are not bundled in this image, hence the import gate).
+    ``model_path`` selects a local ``.model`` file like the reference's
+    pinned ``MACECalculator`` checkpoint; ``None`` uses the downloadable
+    MACE-MP foundation model (``mace.calculators.mace_mp``). Returns a new
+    ``SampleResult``; ``relax_soft_sphere`` stays the TPU-native in-image
+    alternative.
+    """
     try:
-        from mace.calculators import mace_mp  # noqa: F401
-        from ase import Atoms  # noqa: F401
-        from ase.optimize import BFGS  # noqa: F401
+        from ase import Atoms
+        from ase.optimize import BFGS
+        if model_path is None:
+            from mace.calculators import mace_mp
+
+            calculator = mace_mp(device=device)
+        else:
+            from mace.calculators import MACECalculator
+
+            calculator = MACECalculator(model_paths=model_path, device=device)
     except ImportError as e:
         raise ImportError(
             "relax_with_mace needs the `mace-torch` and `ase` packages (the "
             "reference's MACE-MP relaxation path). Use relax_soft_sphere for "
             "the built-in TPU-native relaxation."
         ) from e
-    raise NotImplementedError(
-        "MACE relaxation wiring is pending; install mace/ase and extend here."
-    )
+
+    import numpy as np
+
+    from arreau_tpu.inference.io import SampleResult
+
+    new_frac = np.array(result.frac_x, dtype=np.float64, copy=True)
+    energies = []
+    for i in range(len(result.num_atoms)):
+        s, n = int(result.idx_start[i]), int(result.num_atoms[i])
+        system = Atoms(
+            numbers=np.asarray(result.atomic_numbers[s : s + n]),
+            scaled_positions=np.asarray(result.frac_x[s : s + n]) % 1.0,
+            cell=np.asarray(result.lattice[i]),
+            pbc=(True, True, True),
+        )
+        system.calc = calculator
+        BFGS(system, logfile=None).run(fmax=fmax, steps=max_steps)
+        new_frac[s : s + n] = system.get_scaled_positions()
+        energies.append(float(system.get_potential_energy()))
+    return SampleResult(
+        frac_x=new_frac,
+        atomic_numbers=np.array(result.atomic_numbers, copy=True),
+        lattice=np.array(result.lattice, copy=True),
+        idx_start=np.array(result.idx_start, copy=True),
+        num_atoms=np.array(result.num_atoms, copy=True),
+    ), np.asarray(energies)
