@@ -42,7 +42,7 @@ MEASURE_STEPS = 20
 PEAK_TFLOPS_BF16 = 197.0
 
 
-def build(batch_size: int, max_atoms: int):
+def build(batch_size: int, max_atoms: int, hidden: int = 200):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,7 +54,9 @@ def build(batch_size: int, max_atoms: int):
     from arreau_tpu.train.state import create_train_state
 
     z_table = synthetic_z_table()
-    cfg = DiffusionConfig(num_atomic_states=len(z_table), compute_dtype="bfloat16")
+    cfg = DiffusionConfig(
+        num_atomic_states=len(z_table), compute_dtype="bfloat16", hidden_dim=hidden
+    )
     model = DiffusionModel(cfg)
 
     rng = np.random.default_rng(0)
@@ -138,7 +140,7 @@ def pallas_step_flops(batch_size: int, max_atoms: int, hidden: int = 200,
     return conv + basis + basis_fwd
 
 
-def step_flops(step, state, batch, batch_size=None, max_atoms=None):
+def step_flops(step, state, batch, batch_size=None, max_atoms=None, hidden=200):
     """XLA's flop estimate for the compiled step + hand-counted Pallas flops
     (custom calls are invisible to cost_analysis)."""
     import jax
@@ -157,15 +159,21 @@ def step_flops(step, state, batch, batch_size=None, max_atoms=None):
     # resolves use_pallas from the backend); elsewhere the same matmuls are
     # XLA-visible and already counted above.
     if batch_size is not None and jax.default_backend() == "tpu":
-        xla += pallas_step_flops(batch_size, max_atoms)
+        xla += pallas_step_flops(batch_size, max_atoms, hidden=hidden)
     return xla
 
 
-def bench_one(batch_size, max_atoms, peak_tflops, want_flops=True):
-    model, state, step, batch, n_params = build(batch_size, max_atoms)
-    flops = step_flops(step, state, batch, batch_size, max_atoms) if want_flops else None
+def bench_one(batch_size, max_atoms, peak_tflops, want_flops=True, hidden=200):
+    model, state, step, batch, n_params = build(batch_size, max_atoms, hidden=hidden)
+    flops = (
+        step_flops(step, state, batch, batch_size, max_atoms, hidden=hidden)
+        if want_flops
+        else None
+    )
     res, _ = measure(step, state, batch, flops, peak_tflops)
     res.update({"batch": batch_size, "max_atoms": max_atoms, "params_m": round(n_params / 1e6, 2)})
+    if hidden != 200:
+        res["hidden_dim"] = hidden
     return res
 
 
@@ -291,6 +299,11 @@ def main():
     p.add_argument("--sweep", action="store_true")
     p.add_argument("--loader", action="store_true")
     p.add_argument("--sampler", action="store_true")
+    p.add_argument("--ceiling", action="store_true",
+                   help="framework-ceiling row: the canonical batch/depth at "
+                        "an MXU-aligned width (hidden=256) — shows the MFU "
+                        "when the reference's 200-wide padding walls "
+                        "(200->256 lanes, 800->896) are absent")
     p.add_argument("--peak_tflops", type=float, default=PEAK_TFLOPS_BF16)
     args = p.parse_args()
 
@@ -322,10 +335,14 @@ def main():
         print(f"loader-in-loop: {detail['loader']}", file=sys.stderr, flush=True)
     if args.sampler:
         detail["sampler"] = bench_sampler(args.peak_tflops)
+    if args.ceiling:
+        r = bench_one(*CANONICAL, args.peak_tflops, hidden=256)
+        detail["ceiling_hidden256"] = r
+        print(f"framework ceiling (hidden=256): {r}", file=sys.stderr, flush=True)
 
     head = bench_one(*CANONICAL, args.peak_tflops)
     detail["canonical"] = head
-    if args.sweep or args.loader or args.sampler:
+    if args.sweep or args.loader or args.sampler or args.ceiling:
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=2)
 
