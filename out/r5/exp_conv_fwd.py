@@ -1,0 +1,155 @@
+"""Conv FORWARD kernel anatomy (VERDICT r4 item 4 / Weak #2).
+
+The split spatial conv forward (ops/pallas_conv._fwd_spatial_kernel) runs at
+~58% in-kernel MFU (3.8 ms/step over 5 layers) while the same family's
+backward reaches ~70%. Decompose the per-block time into DMA floor / MXU /
+VPU by ablating the kernel body at the exact production shapes
+(B=256, A=16 -> Bp=32, TA=128, E=1024, O=16, D=256, C=200, bf16 operands):
+
+  v0_full     — the production kernel body (kern matmul + window + gather
+                matmul + elementwise + K-reshape-sum, bf16 store).
+  v_dma       — body touches each input block minimally (single sublane row
+                reduce) and stores zeros: measures the grid's DMA/launch
+                floor with the same block set.
+  v_mxu       — the two matmuls only, sum stored (no window, no elementwise
+                product, no K-sum): MXU + DMA, minimal VPU.
+  v_nowin     — full body minus the window multiply: bounds the window's
+                VPU cost.
+  v_par       — v0 with BOTH grid axes declared parallel (the split forward
+                has no cross-o accumulation — out block is (b, o)-indexed —
+                so 'arbitrary' on o is stricter than needed; does Mosaic
+                schedule better?).
+
+Roofline accounting at these shapes, per (b', o) block:
+  MXU:  kern [E,D]@[D,C] = 104.9 MF + gather [E,TA]@[TA,C] = 52.4 MF
+        -> 157 MF = 0.80 us at 197 TF/s.
+  DMA:  basis block 512 KB bf16 (per o) + x 51 KB + out write 51 KB
+        (sel 256 KB and win 4 KB are o-invariant: fetched once per b')
+        -> ~0.62 MB = 0.76 us at 819 GB/s.
+Balanced MXU/DMA -> the overlapped floor is ~0.8 us/block = ~2.1 ms for the
+5x512 blocks of one step; the measured 3.8 ms = 54-58% of that roofline.
+This script measures where the other ~1.7 ms goes.
+
+Usage: python out/r5/exp_conv_fwd.py [variants...]
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+from arreau_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from arreau_tpu.ops.pallas_conv import _COMPILER_PARAMS, _fwd_spatial_kernel
+
+Bp, O, TA, K, D, C = 32, 16, 128, 8, 256, 200
+E = K * TA
+LAYERS = 5
+cdt = jnp.bfloat16
+
+rng = np.random.default_rng(0)
+sel = jnp.asarray(rng.random((Bp, E, TA)) < 0.01, cdt)
+basis = jnp.asarray(rng.normal(size=(Bp, O, E, D)) * 0.1, cdt)
+w = jnp.asarray(rng.normal(size=(D, C)) * 0.05, cdt)
+win = jnp.asarray(rng.random((Bp, E, 1)), jnp.float32)
+x = jnp.asarray(rng.normal(size=(Bp, O, TA, C)), cdt)
+
+IN_SPECS = [
+    pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((1, 1, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec(memory_space=pltpu.VMEM),
+    pl.BlockSpec((1, E, 1), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+]
+OUT_SPEC = pl.BlockSpec((1, 1, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM)
+OUT_SHAPE = jax.ShapeDtypeStruct((Bp, O, TA, C), cdt)
+
+PAR_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel"),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
+
+
+def _dma_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
+    # touch each block cheaply so the DMAs are not dead-code-eliminated
+    s = (
+        jnp.sum(basis_ref[0, 0, :1, :])
+        + jnp.sum(sel_ref[0, :1, :])
+        + jnp.sum(x_ref[0, 0, :1, :])
+        + jnp.sum(win_ref[0, :1, :]).astype(cdt)
+        + jnp.sum(w_ref[:1, :])
+    )
+    y_ref[0, 0] = jnp.zeros((TA, C), cdt) + s
+
+
+def _mxu_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
+    f32 = jnp.float32
+    kern = jnp.dot(basis_ref[0, 0], w_ref[:], preferred_element_type=f32)  # [E, C]
+    xj = jnp.dot(sel_ref[0], x_ref[0, 0], preferred_element_type=f32)  # [E, C]
+    # cheapest possible combine: one row-block add, no K-sum/window/product
+    y_ref[0, 0] = (kern[:TA] + xj[:TA]).astype(cdt)
+
+
+def _nowin_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
+    f32 = jnp.float32
+    kern = jnp.dot(basis_ref[0, 0], w_ref[:], preferred_element_type=f32)
+    xj = jnp.dot(sel_ref[0], x_ref[0, 0], preferred_element_type=f32)
+    msg = (kern * xj).reshape(K_, TA, C)
+    y_ref[0, 0] = msg.sum(axis=0).astype(cdt)
+
+
+def run(kernel_body, params=None, label=""):
+    fn = pl.pallas_call(
+        partial(kernel_body, K),
+        grid=(Bp, O),
+        in_specs=IN_SPECS,
+        out_specs=OUT_SPEC,
+        out_shape=OUT_SHAPE,
+        compiler_params=params or _COMPILER_PARAMS,
+    )
+
+    @jax.jit
+    def step(sel, basis, w, win, x):
+        outs = []
+        for _ in range(LAYERS):
+            outs.append(fn(sel, basis, w, win, x))
+        return sum(o.astype(jnp.float32).sum() for o in outs)
+
+    r = step(sel, basis, w, win, x)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    N = 20
+    for _ in range(N):
+        r = step(sel, basis, w, win, x)
+    r.block_until_ready()
+    ms = (time.perf_counter() - t0) / N * 1000
+    gf = 2 * (E * D * C + E * TA * C) * Bp * O * LAYERS / 1e9
+    print(
+        f"{label:10s}: {ms:6.2f} ms / {LAYERS} layers "
+        f"({gf:.0f} GF -> {gf / ms:.1f} TF/s, {gf / ms / 197 * 100:.0f}% MFU)",
+        flush=True,
+    )
+    return ms
+
+
+VARIANTS = {
+    "v0_full": lambda: run(_fwd_spatial_kernel, label="v0_full"),
+    "v_dma": lambda: run(_dma_kernel, label="v_dma"),
+    "v_mxu": lambda: run(_mxu_kernel, label="v_mxu"),
+    "v_nowin": lambda: run(_nowin_kernel, label="v_nowin"),
+    "v_par": lambda: run(_fwd_spatial_kernel, params=PAR_PARAMS, label="v_par"),
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    print(f"devices: {jax.devices()}", flush=True)
+    for n in names:
+        VARIANTS[n]()
