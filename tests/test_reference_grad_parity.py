@@ -367,6 +367,38 @@ def test_parameter_gradient_parity():
     print(f"worst grad leaf: {worst[0]} rel {worst[1]:.3g}")
 
 
+def test_parameter_gradient_parity_pallas_kernels():
+    """The same torch-oracle gradients, now against jax.grad THROUGH the
+    custom-VJP Pallas kernels (use_pallas forced on; interpret mode on CPU).
+    This chains torch -> Pallas directly instead of relying on the separate
+    torch->XLA and XLA->Pallas bounds. Tolerance admits the kernels' f32
+    accumulation (preferred_element_type=f32) under the otherwise-fp64 run."""
+    import dataclasses
+
+    sd_torch, dmodel, params64, batch, key, largs, t_int = _build_case()
+    cfg_p = dataclasses.replace(dmodel.config, use_pallas=True)
+    dmodel_p = DiffusionModel(cfg_p, dtype=jnp.float64)
+    dmodel_p.fourier_w = dmodel.fourier_w
+    dmodel_p.ori_grid = dmodel.ori_grid
+
+    tanh = torch.nn.GELU(approximate="tanh")
+    oracle = _TorchLossOracle(sd_torch, tanh, dmodel.vp.betas, dmodel.fourier_w)
+    oracle.ori_grid = torch.as_tensor(np.asarray(dmodel.ori_grid, np.float64))
+    t_total, _t_terms, t_grads = _torch_grads(oracle, largs)
+
+    (j_total, _), j_grads = jax.value_and_grad(
+        lambda p: dmodel_p.loss(p, key, batch, timestep=t_int), has_aux=True
+    )(params64)
+    assert abs(float(j_total) - float(t_total)) / abs(float(t_total)) < 1e-5
+    worst = ("", 0.0)
+    for name, gj, gt_ in _grad_pairs(j_grads["params"], t_grads, L):
+        err = _rel(gj, gt_)
+        if err > worst[1]:
+            worst = (name, err)
+        assert err < 5e-4, f"pallas grad mismatch at {name}: rel {err}"
+    print(f"worst pallas grad leaf: {worst[0]} rel {worst[1]:.3g}")
+
+
 def test_parameter_gradient_bound_erf_gelu():
     """The importer's documented tanh-vs-erf GELU approximation, bounded on
     GRADIENTS end to end (the forward bound is 2e-3 in
