@@ -80,14 +80,16 @@ PAR_PARAMS = pltpu.CompilerParams(
 
 def _dma_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
     # touch each block cheaply so the DMAs are not dead-code-eliminated
+    # (accumulate in f32 — Mosaic cannot legalize scalar bf16 arith)
+    f32 = jnp.float32
     s = (
-        jnp.sum(basis_ref[0, 0, :1, :])
-        + jnp.sum(sel_ref[0, :1, :])
-        + jnp.sum(x_ref[0, 0, :1, :])
-        + jnp.sum(win_ref[0, :1, :]).astype(cdt)
-        + jnp.sum(w_ref[:1, :])
+        jnp.sum(basis_ref[0, 0, :1, :].astype(f32))
+        + jnp.sum(sel_ref[0, :1, :].astype(f32))
+        + jnp.sum(x_ref[0, 0, :1, :].astype(f32))
+        + jnp.sum(win_ref[0, :1, :])
+        + jnp.sum(w_ref[:1, :].astype(f32))
     )
-    y_ref[0, 0] = jnp.zeros((TA, C), cdt) + s
+    y_ref[0, 0] = (jnp.zeros((TA, C), f32) + s).astype(cdt)
 
 
 def _mxu_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
@@ -116,20 +118,29 @@ def run(kernel_body, params=None, label=""):
         compiler_params=params or _COMPILER_PARAMS,
     )
 
-    @jax.jit
-    def step(sel, basis, w, win, x):
-        outs = []
-        for _ in range(LAYERS):
-            outs.append(fn(sel, basis, w, win, x))
-        return sum(o.astype(jnp.float32).sum() for o in outs)
+    # Measurement discipline for the axon tunnel (two failed harnesses):
+    #  * five calls on identical inputs CSE into one — chain x through the
+    #    layers instead (the conv output [Bp, O, TA, C] is exactly x's
+    #    shape/dtype, so chaining costs nothing extra);
+    #  * INDEPENDENT timed iterations overlap/elide on the tunnel (20
+    #    iterations measured 0.02 ms for 403 GF — physically impossible,
+    #    with or without distinct inputs), so each iteration's input is the
+    #    previous iteration's output, like the train state in bench.py.
+    ws = tuple(jnp.roll(w, i, axis=0) for i in range(LAYERS))
 
-    r = step(sel, basis, w, win, x)
-    r.block_until_ready()
-    t0 = time.perf_counter()
+    @jax.jit
+    def step(sel, basis, ws, win, x):
+        for wi in ws:
+            x = fn(sel, basis, wi, win, x)
+        return x
+
     N = 20
+    xt = step(sel, basis, ws, win, x)
+    xt.block_until_ready()
+    t0 = time.perf_counter()
     for _ in range(N):
-        r = step(sel, basis, w, win, x)
-    r.block_until_ready()
+        xt = step(sel, basis, ws, win, xt)
+    xt.block_until_ready()
     ms = (time.perf_counter() - t0) / N * 1000
     gf = 2 * (E * D * C + E * TA * C) * Bp * O * LAYERS / 1e9
     print(
