@@ -80,16 +80,17 @@ PAR_PARAMS = pltpu.CompilerParams(
 
 def _dma_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
     # touch each block cheaply so the DMAs are not dead-code-eliminated
-    # (accumulate in f32 — Mosaic cannot legalize scalar bf16 arith)
+    # (accumulate in f32 — Mosaic cannot legalize scalar bf16 arith); the
+    # output must VARY with x so the chained harness never reaches a fixed
+    # point (identical requests are cache-served by the tunnel)
     f32 = jnp.float32
     s = (
         jnp.sum(basis_ref[0, 0, :1, :].astype(f32))
         + jnp.sum(sel_ref[0, :1, :].astype(f32))
-        + jnp.sum(x_ref[0, 0, :1, :].astype(f32))
         + jnp.sum(win_ref[0, :1, :])
         + jnp.sum(w_ref[:1, :].astype(f32))
     )
-    y_ref[0, 0] = (jnp.zeros((TA, C), f32) + s).astype(cdt)
+    y_ref[0, 0] = (x_ref[0, 0].astype(f32) * 0.97 + s * 1e-6).astype(cdt)
 
 
 def _mxu_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
@@ -97,7 +98,8 @@ def _mxu_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
     kern = jnp.dot(basis_ref[0, 0], w_ref[:], preferred_element_type=f32)  # [E, C]
     xj = jnp.dot(sel_ref[0], x_ref[0, 0], preferred_element_type=f32)  # [E, C]
     # cheapest possible combine: one row-block add, no K-sum/window/product
-    y_ref[0, 0] = (kern[:TA] + xj[:TA]).astype(cdt)
+    # (kern damped so the chained values stay non-degenerate)
+    y_ref[0, 0] = (kern[:TA] * 0.01 + xj[:TA] * 0.9).astype(cdt)
 
 
 def _nowin_kernel(K_, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
@@ -132,16 +134,35 @@ def run(kernel_body, params=None, label=""):
     def step(sel, basis, ws, win, x):
         for wi in ws:
             x = fn(sel, basis, wi, win, x)
-        return x
+        # renormalize once per 5 layers so chained values NEVER collapse to
+        # an all-zero/inf fixed point (the tunnel serves identical requests
+        # from a cache — a fixed point makes iterations 2..N free and the
+        # timing bogus). One 26 MB elementwise pass (~0.06 ms), identical
+        # across variants.
+        xf = x.astype(jnp.float32)
+        return (xf * (1.0 / (jnp.abs(xf).mean() + 1e-20))).astype(cdt)
 
     N = 20
+    # fresh per-iteration perturbation: the renorm alone turns the chain
+    # into a power iteration that CONVERGES to a fixed point, after which
+    # identical requests are cache-served again (v0_full measured 0.03 ms
+    # while passing the finite/nonzero check). eps_i are premade on device;
+    # the add is one cheap elementwise op, identical across variants.
+    eps = [
+        jnp.asarray(rng.normal(size=(Bp, O, TA, C)) * 1e-2, cdt) for _ in range(N)
+    ]
+    for e in eps:
+        e.block_until_ready()
     xt = step(sel, basis, ws, win, x)
     xt.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(N):
-        xt = step(sel, basis, ws, win, xt)
+    for i in range(N):
+        xt = step(sel, basis, ws, win, xt + eps[i])
     xt.block_until_ready()
     ms = (time.perf_counter() - t0) / N * 1000
+    assert bool(jnp.isfinite(xt.astype(jnp.float32)).all()) and float(
+        jnp.abs(xt.astype(jnp.float32)).sum()
+    ) > 0, f"{label}: chained state degenerated — timing untrustworthy"
     gf = 2 * (E * D * C + E * TA * C) * Bp * O * LAYERS / 1e9
     print(
         f"{label:10s}: {ms:6.2f} ms / {LAYERS} layers "
