@@ -377,10 +377,55 @@ def _bwd_spatial_kernel(K, want_dwin, sel_ref, basis_ref, w_ref, win_ref,
     dx_ref[0, 0] = _dot_tn(sel, dxc).astype(dx_ref.dtype)
 
 
+# Orientations per forward-kernel program (experiment knob, default 1 = the
+# measured production configuration). The r5 anatomy (out/r5/exp_conv_fwd.py)
+# measured the forward at its per-block DMA-latency floor; OB>1 halves/
+# quarters the block count on the same bytes. On-chip A/Bs within one
+# session showed ~0.5-1 ms/step in favor of OB=4, but cross-session tunnel
+# variance exceeded the effect — kept opt-in until a stable-session bench
+# A/B settles it (read once at import; see ADVICE r4 on trace-time env).
+import os as _os
+
+_FWD_OBLK = int(_os.environ.get("ARREAU_CONV_FWD_OBLK", "1"))
+
+
+def _fwd_spatial_oblk_kernel(K, OB, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
+    # production body (see _fwd_spatial_kernel) over OB orientations per
+    # program: fewer, larger blocks amortize per-block DMA latency
+    TA, C = x_ref.shape[2], x_ref.shape[3]
+    f32 = jnp.float32
+    win = win_ref[0]
+    for oi in range(OB):
+        kern = jnp.dot(basis_ref[0, oi], w_ref[:], preferred_element_type=f32)
+        kern = kern * win
+        xj = jnp.dot(sel_ref[0], x_ref[0, oi], preferred_element_type=f32)
+        msg = (kern * xj).reshape(K, TA, C)
+        y_ref[0, oi] = msg.sum(axis=0).astype(y_ref.dtype)
+
+
 def _fwd_spatial(basis_om, w, x_om, sel, win, out_dtype=jnp.float32):
     Bp, O, E, D = basis_om.shape
     TA, C = x_om.shape[2], x_om.shape[3]
     K = E // TA
+    OB = _FWD_OBLK if (_FWD_OBLK > 1 and O % _FWD_OBLK == 0) else 1
+    if OB > 1:
+        return pl.pallas_call(
+            partial(_fwd_spatial_oblk_kernel, K, OB),
+            grid=(Bp, O // OB),
+            in_specs=[
+                pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, OB, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, E, 1), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, OB, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, OB, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Bp, O, TA, C), out_dtype),
+            interpret=_interpret(),
+            compiler_params=None if _interpret() else _COMPILER_PARAMS,
+        )(sel, basis_om, w, win, x_om)
     return pl.pallas_call(
         partial(_fwd_spatial_kernel, K),
         grid=(Bp, O),

@@ -172,12 +172,71 @@ def run(kernel_body, params=None, label=""):
     return ms
 
 
+def _fwd_oblk_kernel(K_, OB, sel_ref, basis_ref, w_ref, win_ref, x_ref, y_ref):
+    """Production body over OB orientations per program: fewer, bigger
+    blocks amortize the per-block DMA latency the v_dma floor exposed."""
+    f32 = jnp.float32
+    win = win_ref[0]
+    for oi in range(OB):
+        kern = jnp.dot(basis_ref[0, oi], w_ref[:], preferred_element_type=f32)
+        kern = kern * win
+        xj = jnp.dot(sel_ref[0], x_ref[0, oi], preferred_element_type=f32)
+        msg = (kern * xj).reshape(K_, TA, C)
+        y_ref[0, oi] = msg.sum(axis=0).astype(y_ref.dtype)
+
+
+def run_oblk(OB, label):
+    fn = pl.pallas_call(
+        partial(_fwd_oblk_kernel, K, OB),
+        grid=(Bp, O // OB),
+        in_specs=[
+            pl.BlockSpec((1, E, TA), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OB, E, D), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, 1), lambda b, o: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OB, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, OB, TA, C), lambda b, o: (b, o, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=OUT_SHAPE,
+        compiler_params=_COMPILER_PARAMS,
+    )
+    ws = tuple(jnp.roll(w, i, axis=0) for i in range(LAYERS))
+
+    @jax.jit
+    def step(sel, basis, ws, win, x):
+        for wi in ws:
+            x = fn(sel, basis, wi, win, x)
+        xf = x.astype(jnp.float32)
+        return (xf * (1.0 / (jnp.abs(xf).mean() + 1e-20))).astype(cdt)
+
+    N = 20
+    eps = [jnp.asarray(np.random.default_rng(i).normal(size=(Bp, O, TA, C)) * 1e-2, cdt)
+           for i in range(N)]
+    for e in eps:
+        e.block_until_ready()
+    xt = step(sel, basis, ws, win, x)
+    xt.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(N):
+        xt = step(sel, basis, ws, win, xt + eps[i])
+    xt.block_until_ready()
+    ms = (time.perf_counter() - t0) / N * 1000
+    gf = 2 * (E * D * C + E * TA * C) * Bp * O * LAYERS / 1e9
+    print(f"{label:10s}: {ms:6.2f} ms / {LAYERS} layers "
+          f"({gf / ms:.1f} TF/s, {gf / ms / 197 * 100:.0f}% MFU)", flush=True)
+    return ms
+
+
 VARIANTS = {
     "v0_full": lambda: run(_fwd_spatial_kernel, label="v0_full"),
     "v_dma": lambda: run(_dma_kernel, label="v_dma"),
     "v_mxu": lambda: run(_mxu_kernel, label="v_mxu"),
     "v_nowin": lambda: run(_nowin_kernel, label="v_nowin"),
     "v_par": lambda: run(_fwd_spatial_kernel, params=PAR_PARAMS, label="v_par"),
+    "v_o2": lambda: run_oblk(2, "v_o2"),
+    "v_o4": lambda: run_oblk(4, "v_o4"),
 }
 
 if __name__ == "__main__":
