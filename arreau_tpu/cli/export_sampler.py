@@ -35,6 +35,10 @@ def parse_args(argv=None):
                         "its throughput); pass 0 for the full T-step chain")
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--type_temperature", type=float, default=1.0)
+    p.add_argument("--variable_num_atoms", type=parse_bool, default=False,
+                   help="export the size-matched serving variant: the "
+                        "artifact takes num_atoms int32[B] per call "
+                        "(counts <= num_atoms_per_sample = pad size)")
     p.add_argument("--out", type=str, required=True, help="output artifact path")
     return p.parse_args(argv)
 
@@ -54,6 +58,7 @@ def main(argv=None):
         sample_steps=args.sample_steps or None,  # 0 -> full chain
         ddim_eta=args.ddim_eta,
         type_temperature=args.type_temperature,
+        variable_num_atoms=args.variable_num_atoms,
     )
     chain = (
         f"strided S={args.sample_steps} (DDIM eta={args.ddim_eta})"

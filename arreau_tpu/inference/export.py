@@ -37,9 +37,16 @@ def export_sampler(
     sample_steps: Optional[int] = None,
     ddim_eta: float = 0.0,
     type_temperature: float = 1.0,
+    variable_num_atoms: bool = False,
 ) -> dict:
     """Serialize the sampler for ``batch_size`` x ``num_atoms_per_sample``
-    crystals into ``out_path`` (+ ``.json`` sidecar). Returns the sidecar."""
+    crystals into ``out_path`` (+ ``.json`` sidecar). Returns the sidecar.
+
+    ``variable_num_atoms``: export the size-matched serving variant — the
+    artifact takes a second argument ``num_atoms int32[B]`` (per-crystal
+    counts <= ``num_atoms_per_sample``, which becomes the pad size) so a
+    serving host can draw counts from its own distribution per call; padded
+    slots diffuse inertly and come back masked via the returned counts."""
     import jax
     from jax import export as jax_export
 
@@ -50,12 +57,13 @@ def export_sampler(
     )
     length_bounds = length_bounds_from_meta(meta)
 
-    def sample_fn(seed):
+    def sample_fn(seed, num_atoms=None):
         batch = model.sample(
             params,
             jax.random.PRNGKey(seed),
             num_samples=batch_size,
             num_atoms_per_sample=num_atoms_per_sample,
+            num_atoms=num_atoms,
             length_bounds=length_bounds,
             type_temperature=type_temperature,
             sample_steps=sample_steps,
@@ -64,16 +72,29 @@ def export_sampler(
         # plain tuple output: no pytree registration needed on the serving host
         return batch.frac_x, batch.atom_types, batch.lattice
 
-    exp = jax_export.export(jax.jit(sample_fn))(
-        jax.ShapeDtypeStruct((), np.int32)
-    )
+    if variable_num_atoms:
+        exp = jax_export.export(jax.jit(sample_fn))(
+            jax.ShapeDtypeStruct((), np.int32),
+            jax.ShapeDtypeStruct((batch_size,), np.int32),
+        )
+    else:
+        exp = jax_export.export(jax.jit(sample_fn))(
+            jax.ShapeDtypeStruct((), np.int32)
+        )
     blob = exp.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(blob)
     sidecar = {
-        "calling_convention": "f(seed: int32[]) -> (frac_x [B,A,3] f32, "
-        "atom_types [B,A] int, lattice [B,3,3] f32)",
+        "calling_convention": (
+            "f(seed: int32[], num_atoms: int32[B]) -> (frac_x [B,A,3] f32, "
+            "atom_types [B,A] int, lattice [B,3,3] f32); slots >= num_atoms[b] "
+            "are padding"
+            if variable_num_atoms
+            else "f(seed: int32[]) -> (frac_x [B,A,3] f32, "
+            "atom_types [B,A] int, lattice [B,3,3] f32)"
+        ),
+        "variable_num_atoms": variable_num_atoms,
         "batch_size": batch_size,
         "num_atoms_per_sample": num_atoms_per_sample,
         "sample_steps": sample_steps,

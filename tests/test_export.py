@@ -70,6 +70,37 @@ def test_export_roundtrip_matches_sampler(tmp_path):
     np.testing.assert_allclose(np.asarray(lattice), np.asarray(ref.lattice), rtol=1e-5, atol=1e-5)
 
 
+def test_export_variable_num_atoms_roundtrip(tmp_path):
+    """Size-matched serving variant: the artifact takes per-crystal counts
+    and reproduces the in-process sampler exactly; padded slots masked."""
+    import jax
+    import jax.numpy as jnp
+
+    from arreau_tpu.inference.export import export_sampler, load_exported
+
+    ckpt_dir, model, params = _tiny_checkpoint(tmp_path)
+    out = str(tmp_path / "sampler_var.stablehlo")
+    sidecar = export_sampler(
+        ckpt_dir, out, tag="best", use_ema=False, batch_size=3,
+        num_atoms_per_sample=4, sample_steps=5, variable_num_atoms=True,
+    )
+    assert sidecar["variable_num_atoms"] is True
+    assert "num_atoms: int32[B]" in sidecar["calling_convention"]
+
+    call, _ = load_exported(out)
+    counts = np.asarray([2, 4, 3], np.int32)
+    frac, types, lattice = call(np.int32(9), counts)
+    assert frac.shape == (3, 4, 3)
+
+    ref = model.sample(
+        params, jax.random.PRNGKey(9), num_samples=3, num_atoms_per_sample=4,
+        sample_steps=5, num_atoms=jnp.asarray(counts),
+    )
+    np.testing.assert_allclose(np.asarray(frac), np.asarray(ref.frac_x), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(types), np.asarray(ref.atom_types))
+    np.testing.assert_array_equal(np.asarray(ref.num_atoms), counts)
+
+
 def test_export_cli(tmp_path):
     from arreau_tpu.cli.export_sampler import main
 
