@@ -35,6 +35,19 @@ def trained_ckpt(tmp_path_factory):
     return ckpt_dir
 
 
+def test_train_cli_model_parallel(tmp_path):
+    """--model_parallel 2 e2e on the 8-device CPU mesh: the CLI builds the
+    (data, model) mesh, Megatron-shards the state, binds the Pallas
+    kernel-partitioning context, and trains to a finite loss."""
+    from arreau_tpu.cli.train_diffusion import main
+
+    ckpt_dir = str(tmp_path / "ckpt_tp")
+    loss = main(TINY_TRAIN_ARGS + [
+        "--checkpoint_dir", ckpt_dir, "--model_parallel", "2",
+    ])
+    assert np.isfinite(loss)
+
+
 def test_train_writes_self_describing_checkpoint(trained_ckpt):
     from arreau_tpu.train.checkpoint import CheckpointManager
 
