@@ -97,6 +97,14 @@ angle-ab:  # canonical angle-diffusion A/B quality from the committed legs
 	  --num_atoms_per_sample=8 --clip_denoised=False \
 	  --out_dir=out/ab_on --quality_ref=synthetic:20000:0
 
+diagnose-sampler:  # per-timestep length-marginal drift artifacts (r5 evidence)
+	python -m arreau_tpu.exploration.diagnose_sampler --checkpoint_dir=out/r4/ckpt_base \
+	  --tag=best --ref=synthetic:20000:0 --num_samples=256 --record_every=20 \
+	  --out=out/diag_base.json
+	python -m arreau_tpu.exploration.diagnose_sampler --checkpoint_dir=out/r4/ckpt_500 \
+	  --tag=best --ref=synthetic:20000:0 --num_samples=256 --record_every=20 \
+	  --out=out/diag_500.json
+
 oracle-tests:  # parity tier against the reference's own torch code
 	python -m pytest tests/test_reference_oracle.py tests/test_import_e2e_bound.py \
 	  tests/test_reference_grad_parity.py tests/test_chain_oracle.py -q
